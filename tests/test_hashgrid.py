@@ -1,0 +1,123 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_radiance_caching_tpu.ops import hashgrid
+
+
+def test_grid_sizes_geomspace():
+    sizes = hashgrid.compute_grid_sizes(16, 2048, 1.0)
+    np.testing.assert_array_equal(sizes, [16, 32, 64, 128, 256, 512, 1024, 2048])
+    sizes2 = hashgrid.compute_grid_sizes(16, 2048, 2.0)
+    assert len(sizes2) == 15 and sizes2[0] == 16 and sizes2[-1] == 2048
+
+
+def _setup_encoder(key, grid_sizes, table_size, num_features):
+    grid_sizes = np.asarray(grid_sizes)
+    dense_mask = grid_sizes.astype(np.int64) ** 3 <= table_size
+    dense_sizes = grid_sizes[dense_mask]
+    num_hash = int((~dense_mask).sum())
+    dense_offsets = tuple(np.concatenate([[0], np.cumsum(dense_sizes**3)[:-1]]).tolist())
+    total_dense = int((dense_sizes.astype(np.int64) ** 3).sum())
+    k1, k2 = jax.random.split(key)
+    dense_pool = jax.random.normal(k1, (total_dense, num_features)) * 0.1
+    hash_tables = jax.random.normal(k2, (num_hash, table_size, num_features)) * 0.1
+    return dense_pool, hash_tables, dense_offsets, dense_mask
+
+
+def test_hash_levels_match_reference_formula():
+    """Fused encoder must agree with the reference's per-level trilinear hash
+    lookup (grid_utils.jax_hash_resample_3d semantics) on hash levels."""
+    key = jax.random.PRNGKey(0)
+    grid_sizes = (16, 32, 91, 128)
+    T = 4096  # 16^3=4096 dense (<=T), 32^3 > T hash, etc.
+    F = 2
+    dense_pool, hash_tables, dense_offsets, dense_mask = _setup_encoder(key, grid_sizes, T, F)
+    assert dense_mask.tolist() == [True, False, False, False]
+
+    x = jax.random.uniform(key, (50, 1, 3))  # M=1 multisample
+    feats = hashgrid.multires_grid_encode(
+        x,
+        hash_tables,
+        dense_pool,
+        grid_sizes=grid_sizes,
+        table_size=T,
+        dense_offsets=dense_offsets,
+        multisample_reduce="mean",
+    )
+    feats = feats.reshape(50, len(grid_sizes), F)
+
+    for li, gs in enumerate(grid_sizes):
+        if dense_mask[li]:
+            continue
+        ref = hashgrid.reference_hash_encode_level(
+            hash_tables[li - int(dense_mask.sum())], x[:, 0, :] * gs
+        )
+        np.testing.assert_allclose(feats[:, li, :], ref, atol=1e-5, rtol=1e-5)
+
+
+def test_dense_level_interpolates_constant_field():
+    """A constant dense grid must return that constant for interior points."""
+    grid_sizes = (16,)
+    T = 8192
+    F = 3
+    dense_pool = jnp.ones((16**3, F)) * 2.5
+    x = jax.random.uniform(jax.random.PRNGKey(1), (20, 1, 3), minval=0.2, maxval=0.8)
+    feats = hashgrid.multires_grid_encode(
+        x,
+        None,
+        dense_pool,
+        grid_sizes=grid_sizes,
+        table_size=T,
+        dense_offsets=(0,),
+        multisample_reduce="mean",
+    )
+    np.testing.assert_allclose(feats, 2.5, atol=1e-5)
+
+
+def test_dense_level_zero_outside():
+    grid_sizes = (16,)
+    dense_pool = jnp.ones((16**3, 1))
+    x = jnp.array([[[5.0, 5.0, 5.0]], [[-4.0, 0.5, 0.5]]])  # far outside [0,1]
+    feats = hashgrid.multires_grid_encode(
+        x,
+        None,
+        dense_pool,
+        grid_sizes=grid_sizes,
+        table_size=8192,
+        dense_offsets=(0,),
+        multisample_reduce="mean",
+    )
+    np.testing.assert_allclose(feats, 0.0, atol=1e-6)
+
+
+def test_encode_differentiable_wrt_tables_and_points():
+    key = jax.random.PRNGKey(2)
+    grid_sizes = (16, 91)
+    T = 4096
+    F = 2
+    dense_pool, hash_tables, dense_offsets, _ = _setup_encoder(key, grid_sizes, T, F)
+    x = jax.random.uniform(key, (10, 1, 3))
+
+    def loss(ht, dp, x):
+        f = hashgrid.multires_grid_encode(
+            x, ht, dp, grid_sizes=grid_sizes, table_size=T, dense_offsets=dense_offsets
+        )
+        return (f**2).sum()
+
+    g_ht, g_dp, g_x = jax.grad(loss, argnums=(0, 1, 2))(hash_tables, dense_pool, x)
+    assert np.isfinite(g_ht).all() and np.isfinite(g_dp).all() and np.isfinite(g_x).all()
+    assert np.abs(g_ht).sum() > 0 and np.abs(g_dp).sum() > 0 and np.abs(g_x).sum() > 0
+
+
+def test_multisample_mean_reduce():
+    key = jax.random.PRNGKey(3)
+    grid_sizes = (16,)
+    dense_pool = jax.random.normal(key, (16**3, 2))
+    x = jax.random.uniform(key, (5, 4, 3), minval=0.3, maxval=0.7)
+    enc = lambda xx: hashgrid.multires_grid_encode(
+        xx, None, dense_pool, grid_sizes=grid_sizes, table_size=8192, dense_offsets=(0,)
+    )
+    batched = enc(x)
+    manual = jnp.stack([enc(x[:, i : i + 1, :]) for i in range(4)]).mean(0)
+    np.testing.assert_allclose(batched, manual, atol=1e-6)
