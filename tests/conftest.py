@@ -1,12 +1,18 @@
 """Test configuration: force an 8-device virtual CPU mesh.
 
 Sharding/parallelism tests run against 8 virtual CPU devices, the JAX
-analogue of a fake multi-chip cluster (no TPU needed in CI).
+analogue of a fake multi-chip cluster. Note the environment may pre-register
+an accelerator plugin and set JAX_PLATFORMS itself, so we must both set
+XLA_FLAGS before JAX initializes AND override jax_platforms via jax.config.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
