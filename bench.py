@@ -1,0 +1,161 @@
+"""Benchmark: cache-stage training throughput (rays/sec) on one TPU chip.
+
+Trains the radiance-cache stage at the reference's flagship scale
+(ngp_yobo.gin: hash levels to 2048^3 with T=2^19, F=4 appearance grid, F=1
+proposal grids, 64/64/32 samples, 64-wide MLPs) on a procedural scene and
+reports sustained train-step rays/sec.
+
+Baseline: the reference cannot run this workload on TPU at all (it raises on
+TPU, internal/geometry.py:255-257) and its authors trained on one RTX 6000
+Ada. `vs_baseline` is measured rays/sec divided by 65536 — i.e. how many of
+the reference's nominal base batches (configs/ngp_yobo.gin:6) this framework
+retires per second per chip; BASELINE.md records why no published number
+exists to compare against directly.
+"""
+
+import json
+import time
+
+import jax
+import numpy as np
+
+from neural_radiance_caching_tpu.data import datasets
+from neural_radiance_caching_tpu.engine.configs import Config
+from neural_radiance_caching_tpu.models.nerf_model import NeRFModel
+from neural_radiance_caching_tpu.ops import coord
+from neural_radiance_caching_tpu.parallel import mesh as mesh_lib
+from neural_radiance_caching_tpu.parallel import train as train_lib
+from neural_radiance_caching_tpu.utils import pytrees
+
+BATCH_SIZE = 8192
+WARMUP_STEPS = 3
+BENCH_STEPS = 20
+
+
+def build_flagship_cache_model(config):
+    """Full-scale cache model per configs/ngp_yobo.gin."""
+    proposal_grid = lambda max_size: {
+        "hash_map_size": 524288, "max_grid_size": max_size, "num_features": 1,
+        "bbox_scaling": 2.0,
+    }
+    appearance_grid = {
+        "hash_map_size": 524288, "max_grid_size": 2048, "num_features": 4,
+        "bbox_scaling": 2.0,
+    }
+    mlp = {
+        "net_depth": 2, "net_width": 64, "disable_density_normals": True,
+        "enable_pred_normals": True, "warp_fn": coord.contract_radius_2,
+    }
+    slf = {
+        "net_depth": 2, "net_width": 64, "skip_layer": 2, "bottleneck_width": 128,
+        "use_directional_enc": True, "use_ide": True, "deg_view": 5,
+        "net_depth_viewdirs": 4, "net_width_viewdirs": 128, "bottleneck_viewdirs": 128,
+        "skip_layer_dir": 2, "use_grid": False, "use_bottleneck": False,
+        "use_density_feature": False, "use_shader_bottleneck": True, "use_lights": False,
+    }
+    strategy = ((0, 0, 64), (1, 1, 64), (2, 2, 32))
+    return NeRFModel(
+        config=config,
+        sampler_params={
+            "sampling_strategy": strategy,
+            "mlp_params_per_level": (mlp, mlp, mlp),
+            "grid_params_per_level": (
+                proposal_grid(512), proposal_grid(1024), appearance_grid,
+            ),
+            "dilation_bias": 0.0, "dilation_multiplier": 0.0,
+            "anneal_clip": 0.4, "resample_padding": 1e-5,
+            "raydist_fn": None,
+        },
+        shader_params={
+            "net_depth": 0, "net_width": 64, "bottleneck_width": 128,
+            "use_grid": True, "grid_params": appearance_grid,
+            "warp_fn": coord.contract_radius_2,
+            "use_reflections": True, "enable_pred_roughness": True,
+            "use_specular_tint": True,
+            "use_ambient": True, "use_indirect": False, "use_active": False,
+            "surface_lf_params": slf,
+            "net_depth_integrated_brdf": 2, "net_width_integrated_brdf": 64,
+            "skip_layer_integrated_brdf": 2,
+            "net_depth_brdf": 2, "net_width_brdf": 64, "skip_layer_brdf": 2,
+            "net_depth_irradiance": 2, "net_width_irradiance": 64,
+            "skip_layer_irradiance": 2,
+            "rgb_activation": jax.nn.softplus,
+        },
+        train_sampling_strategy=strategy,
+        render_sampling_strategy=strategy,
+    )
+
+
+def main():
+    config = Config(
+        dataset_loader="synthetic_spheres",
+        batch_size=BATCH_SIZE,
+        near=2.0,
+        far=6.0,
+        max_steps=25000,
+        lr_init=0.01,
+        lr_final=0.001,
+        lr_delay_steps=2500,
+        lr_delay_mult=1e-8,
+        adam_eps=1e-15,
+        data_loss_type="charb",
+        interlevel_loss_mults=(0.01, 0.01),
+        interlevel_loss_blurs=(0.03, 0.003),
+        distortion_loss_mult=0.01,
+        predicted_normal_loss_mult=0.05,
+        predicted_normal_reverse_loss_mult=0.05,
+        mask_lossmult=False,
+        linear_to_srgb=True,
+    )
+    dataset = datasets.SyntheticSpheres("train", None, config, num_images=8, resolution=128)
+    model = build_flagship_cache_model(config)
+    mesh = mesh_lib.create_mesh()
+
+    import functools
+
+    variables = jax.jit(functools.partial(model.init, train_frac=1.0, train=False))(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1), pytrees.dummy_rays(16)
+    )
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables))
+    state, _ = train_lib.create_optimizer(config, variables)
+    state = mesh_lib.replicate(state, mesh)
+    train_step = train_lib.create_train_step(model, config, mesh=mesh)
+    rng = jax.random.PRNGKey(42)
+
+    # Pre-generate host batches so data loading is off the timed path.
+    batches = [
+        mesh_lib.shard_batch(dataset.next_train(), mesh) for _ in range(8)
+    ]
+
+    for i in range(WARMUP_STEPS):
+        state, stats = train_step(rng, state, batches[i % len(batches)], 0.5)
+    # NOTE: on remote-dispatch backends block_until_ready can return before
+    # execution finishes; a device->host fetch is the only reliable fence.
+    _ = float(stats["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(BENCH_STEPS):
+        state, stats = train_step(rng, state, batches[i % len(batches)], 0.5)
+    _ = float(stats["loss"])
+    dt = (time.perf_counter() - t0) / BENCH_STEPS
+
+    rays_per_sec = BATCH_SIZE / dt
+    result = {
+        "metric": "train_rays_per_sec_cache_stage",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/sec/chip",
+        "vs_baseline": round(rays_per_sec / 65536.0, 3),
+        "detail": {
+            "batch_size": BATCH_SIZE,
+            "step_ms": round(dt * 1e3, 2),
+            "samples_per_ray": 160,
+            "params": int(n_params),
+            "device": str(jax.devices()[0]),
+            "final_loss": float(stats["loss"]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

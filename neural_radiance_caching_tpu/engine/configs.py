@@ -215,13 +215,37 @@ class Config:
     data_loss_type: str = "charb"
     data_loss_mult: float = 1.0
     data_coarse_loss_mult: float = 0.0
+    data_loss_gauss_mult: float = 1.0
+    transient_gauss_constant_scale: float = 1.0
     charb_padding: float = 0.001
     rawnerf_exponent: int = 1
     rawnerf_exponent_material: int = 1
     rawnerf_eps: float = 1e-2
     rawnerf_eps_material: float = 1e-2
+    rawnerf_mode: bool = False
+    use_gt_rawnerf: bool = False
+    use_combined_rawnerf: bool = False
+    use_norm_rawnerf: bool = False
+    convert_srgb: bool = False
+    is_material: bool = False
+    use_loss_clip: bool = False
+    loss_clip_min: float = 0.0
+    loss_thresh: float = float("inf")
     loss_clip: float = float("inf")
     loss_clip_max: float = float("inf")
+    use_mask_weight_ease: bool = False
+    mask_weight_ease_start: float = 0.0
+    mask_weight_ease_frac: float = 0.0
+    mask_weight_ease_min: float = 0.0
+    use_mask_weight_decay: bool = False
+    mask_weight_decay_start: float = 0.0
+    mask_weight_decay_frac: float = 0.0
+    mask_weight_decay_min: float = 0.0
+    normalize_distortion_loss: bool = False
+    orientation_loss_normalize: bool = False
+    orientation_loss_stopgrad: bool = False
+    predicted_normal_loss_normalize: bool = False
+    predicted_normal_weight_loss_mult: float = 0.0
     mask_lossmult: bool = True
     mask_lossmult_weight: float = 0.0
     evaluate_without_masks: bool = False

@@ -1,0 +1,78 @@
+"""Device mesh and sharding utilities.
+
+TPU-first replacement for the reference's pmap + host-side shard() pattern
+(internal/utils.py:333-344, train_utils.py:3172-3177): a single 1D "data"
+mesh over all devices (ICI within a slice, DCN across slices), batches
+sharded along their leading axis with NamedSharding, parameters replicated.
+The jitted step's gradient psum is inserted by XLA from the shardings — no
+explicit collectives in user code.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(devices=None) -> Mesh:
+    """1D data-parallel mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (ray) axis across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put every array field of a pytree with the batch sharding.
+
+    The leading dimension must be divisible by the mesh size. Unlike the
+    reference's shard(), no [D, B/D] reshape happens — the global shape is
+    preserved and XLA sees a [B]-shaped array laid out across devices.
+    """
+    sharding = batch_sharding(mesh)
+
+    def put(x):
+        if x is None:
+            return None
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params/state) onto every device in the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding) if x is not None else None, tree
+    )
+
+
+def pad_rays_to_devices(tree, num_devices):
+    """Pad the leading axis to a multiple of num_devices; returns (tree, pad)."""
+    leaves = [x for x in jax.tree_util.tree_leaves(tree) if hasattr(x, "shape")]
+    n = leaves[0].shape[0]
+    pad = (-n) % num_devices
+    if pad == 0:
+        return tree, 0
+
+    def pad_fn(x):
+        if x is None or not hasattr(x, "shape"):
+            return x
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        if isinstance(x, np.ndarray):
+            return np.pad(x, widths, mode="edge")
+        return jnp.pad(x, widths, mode="edge")
+
+    return jax.tree_util.tree_map(pad_fn, tree), pad

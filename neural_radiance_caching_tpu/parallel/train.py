@@ -1,0 +1,368 @@
+"""Sharded training harness: optimizer, jitted train step, render fn.
+
+Behavioral parity target: reference internal/train_utils.py (setup_model
+:3938-3984, create_train_step :2819-3178, create_optimizer :3834-3935,
+checkpoint surgery :3991-4088).
+
+TPU-first deltas:
+  * ONE jitted train step with NamedSharding over a `Mesh(("data",))`
+    instead of `jax.pmap` + host-side shard() reshapes
+    (train_utils.py:3172-3177). Batches are sharded on their leading ray
+    axis; parameters/optimizer state are replicated; XLA inserts the
+    gradient all-reduce over ICI from the sharding annotations — the
+    explicit `lax.pmean` (train_utils.py:3133-3136) disappears.
+  * The train state is donated, so parameter and Adam-state buffers are
+    updated in place in HBM.
+  * Multi-host is the same program: a global mesh over all processes with
+    per-process addressable shards.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training.train_state import TrainState
+
+from neural_radiance_caching_tpu.engine import configs as configs_lib
+from neural_radiance_caching_tpu.parallel import losses as losses_lib
+from neural_radiance_caching_tpu.parallel import mesh as mesh_lib
+from neural_radiance_caching_tpu.ops import math
+from neural_radiance_caching_tpu.utils import jaxutil, pytrees
+
+
+# --- Optimizer -----------------------------------------------------------------
+
+
+def create_optimizer(config, variables):
+    """Adam with per-module-prefix lr overrides from config.extra_opt_params.
+
+    Parity with train_utils.py:3834-3935: each prefix (e.g. "Cache",
+    "MaterialShader") gets its own masked Adam chain with its own schedule;
+    everything else falls through to the main schedule. is_material selects
+    the `*_material` sub-entries.
+    """
+    adam_kwargs = {"b1": config.adam_beta1, "b2": config.adam_beta2, "eps": config.adam_eps}
+    lr_kwargs = {
+        "max_steps": config.max_steps,
+        "lr_delay_steps": config.lr_delay_steps,
+        "lr_delay_mult": config.lr_delay_mult,
+    }
+
+    def get_lr_fn(lr_init, lr_final, **kw):
+        return functools.partial(
+            math.learning_rate_decay, lr_init=lr_init, lr_final=lr_final, **kw
+        )
+
+    suffix = "_material" if config.is_material else ""
+
+    def opt_param(params, name, default):
+        return params.get(name + suffix, params.get(name, default))
+
+    lr_fn_main = get_lr_fn(config.lr_init, config.lr_final, **lr_kwargs)
+    tx_model = optax.adam(learning_rate=lr_fn_main, **adam_kwargs)
+    all_false = jax.tree_util.tree_map(lambda _: False, variables)
+
+    def construct(opt_params, prefix, tx_model):
+        cur_lr_kwargs = {
+            "max_steps": opt_param(opt_params, "max_steps", config.max_steps),
+            "lr_delay_steps": opt_param(opt_params, "lr_delay_steps", config.lr_delay_steps),
+            "lr_delay_mult": opt_param(opt_params, "lr_delay_mult", config.lr_delay_mult),
+        }
+        cur_adam_kwargs = {
+            "b1": opt_param(opt_params, "adam_b1", config.adam_beta1),
+            "b2": opt_param(opt_params, "adam_b2", config.adam_beta2),
+            "eps": opt_param(opt_params, "adam_eps", config.adam_eps),
+        }
+        rest_traversal = flax.traverse_util.ModelParamTraversal(
+            lambda path, _: prefix not in path.split("/")
+        )
+        rest_mask = rest_traversal.update(lambda _: True, all_false)
+        tx = optax.masked(tx_model, rest_mask)
+
+        extra_lr_fn = get_lr_fn(
+            opt_param(opt_params, "lr_init", config.lr_init),
+            opt_param(opt_params, "lr_final", config.lr_final),
+            **cur_lr_kwargs,
+        )
+        extra_traversal = flax.traverse_util.ModelParamTraversal(
+            lambda path, _: prefix in path.split("/")
+        )
+        extra_mask = extra_traversal.update(lambda _: True, all_false)
+        extra_tx = optax.adam(learning_rate=extra_lr_fn, **cur_adam_kwargs)
+        return optax.chain(tx, optax.masked(extra_tx, extra_mask))
+
+    if config.extra_opt_params:
+        for prefix, params in config.extra_opt_params.items():
+            tx_model = construct(params, prefix, tx_model)
+    tx = tx_model
+
+    if config.grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, config.grad_accum_steps, use_grad_mean=True)
+
+    state = TrainState.create(apply_fn=None, params=variables, tx=tx)
+    return state, lr_fn_main
+
+
+# --- Loss assembly ----------------------------------------------------------------
+
+
+def _compute_losses_for_output(
+    key, batch, rays, model_results, config, train_frac, main_name, losses, stats
+):
+    """Per-output losses over one 'main'-style results dict."""
+    results = model_results[main_name]
+    rendering = model_results["render"] if main_name == "main" else results["integrator"]
+    prefix = "" if main_name == "main" else main_name.replace("main", "")
+
+    data_loss, data_stats = losses_lib.compute_data_loss(
+        batch, rendering, rays, config, main=(main_name == "main"), train_frac=train_frac,
+        transient=config.use_transient,
+    )
+    losses[prefix + "data"] = config.data_loss_mult * data_loss
+    for k, v in data_stats.items():
+        stats[prefix + k] = v
+
+    ray_history = results["sampler"]
+    last = results["geometry"]
+
+    if any(m > 0 for m in config.interlevel_loss_mults):
+        interlevel = losses_lib.compute_interlevel_loss(
+            ray_history, config.interlevel_loss_mults, config.interlevel_loss_blurs, config
+        )
+        for i, l in enumerate(interlevel):
+            losses[f"{prefix}interlevel_{i}"] = l
+
+    if config.distortion_loss_mult > 0:
+        losses[prefix + "distortion"] = losses_lib.compute_distortion_loss(
+            ray_history, config.distortion_loss_mult, config
+        )
+
+    if config.orientation_loss_mult > 0:
+        losses[prefix + "orientation"] = losses_lib.orientation_loss(rays, last, config)
+
+    # Predicted-normal supervision with the ease-in schedule
+    # (train_utils.py:3217-3302).
+    ease = losses_lib.compute_weight_ease_in(
+        train_frac,
+        config.use_normal_weight_ease,
+        config.normal_weight_ease_start,
+        config.normal_weight_ease_frac,
+        config.normal_weight_ease_min,
+    )
+    ease_bwd = losses_lib.compute_weight_ease_in(
+        train_frac,
+        config.use_normal_weight_ease_backward,
+        config.normal_weight_ease_start,
+        config.normal_weight_ease_frac,
+        config.normal_weight_ease_min,
+    )
+    beta = jnp.ones_like(last["weights"][..., :1])
+    if config.predicted_normal_loss_mult > 0:
+        losses[prefix + "predicted_normals"] = losses_lib.predicted_normal_loss(
+            last,
+            beta,
+            config,
+            mult=config.predicted_normal_loss_mult * ease,
+            gt="normals_pred",
+            pred="normals",
+            stopgrad=config.predicted_normal_loss_stopgrad,
+            stopgrad_weight=config.predicted_normal_loss_stopgrad_weight,
+        )
+    if config.predicted_normal_reverse_loss_mult > 0:
+        losses[prefix + "predicted_normals_reverse"] = losses_lib.predicted_normal_loss(
+            last,
+            beta,
+            config,
+            mult=config.predicted_normal_reverse_loss_mult * ease_bwd,
+            gt="normals",
+            pred="normals_pred",
+            stopgrad=True,
+        )
+
+    if config.eikonal_loss_mult > 0 or config.eikonal_coarse_loss_mult > 0:
+        losses[prefix + "eikonal"] = losses_lib.eikonal_loss(ray_history, config)
+
+    if (config.opaque_loss_weight > 0 or config.empty_loss_weight > 0) and (
+        batch.masks is not None
+    ):
+        losses[prefix + "mask"] = losses_lib.compute_mask_loss(
+            batch, rendering, rays, config, train_frac=train_frac
+        )
+
+    return losses, stats
+
+
+def create_train_step(
+    model,
+    config,
+    mesh=None,
+    dataset=None,
+):
+    """Build the sharded, jitted train step.
+
+    Returned signature: (rng, state, batch, train_frac) -> (state, stats, rng).
+    rng is advanced inside the step (folded per step) so callers can loop.
+    """
+    if mesh is None:
+        mesh = mesh_lib.create_mesh()
+
+    def loss_fn(params, rng, batch, train_frac):
+        rays = batch.rays
+        model_results = model.apply(
+            params,
+            rng,
+            rays,
+            train_frac=train_frac,
+            train=True,
+            compute_extras=False,
+        )
+
+        losses: Dict[str, Any] = {}
+        stats: Dict[str, Any] = {}
+        for key in model_results:
+            if key.endswith("main"):
+                _compute_losses_for_output(
+                    key, batch, rays, model_results, config, train_frac, key, losses, stats
+                )
+
+        reg_losses = losses_lib.param_regularizer_loss(params, config)
+        for k, v in reg_losses.items():
+            losses["regularizer_" + k] = v
+
+        total = sum(jax.tree_util.tree_leaves(losses))
+        stats["losses"] = losses
+        return total, stats
+
+    def train_step(rng, state, batch, train_frac):
+        step_rng = jax.random.fold_in(rng, state.step)
+        (loss, stats), grad = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, step_rng, batch, train_frac
+        )
+        grad = jax.tree_util.tree_map(jnp.nan_to_num, grad)
+        grad = losses_lib.clip_gradients(grad, config)
+        new_state = state.apply_gradients(grads=grad)
+        stats["loss"] = loss
+        stats["grad_norm"] = losses_lib.tree_norm(grad)
+        stats["param_norm"] = losses_lib.tree_norm(state.params)
+        return new_state, stats
+
+    batch_sharding = mesh_lib.batch_sharding(mesh)
+    repl = mesh_lib.replicated_sharding(mesh)
+
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, repl, batch_sharding, None),
+        out_shardings=(repl, repl),
+        donate_argnums=(1,),
+    )
+
+
+def create_render_fn(model, mesh=None, **apply_kwargs):
+    """Jitted eval-mode renderer over the sharded ray batch.
+
+    Replaces the reference's pmap + all_gather eval path
+    (train_utils.py:3742-3831): outputs come back as globally-sharded arrays
+    that the host can fetch directly.
+    """
+    if mesh is None:
+        mesh = mesh_lib.create_mesh()
+    batch_sharding = mesh_lib.batch_sharding(mesh)
+    repl = mesh_lib.replicated_sharding(mesh)
+
+    def render_fn(params, rng, train_frac, rays):
+        return model.apply(
+            params,
+            rng,
+            rays,
+            train_frac=train_frac,
+            train=False,
+            compute_extras=True,
+            **apply_kwargs,
+        )["render"]
+
+    return jax.jit(
+        render_fn,
+        in_shardings=(repl, None, None, batch_sharding),
+    )
+
+
+def setup_model(config, rng, dataset=None, mesh=None):
+    """Construct model + optimizer + sharded train/render functions."""
+    from neural_radiance_caching_tpu.models import construct
+
+    dummy = pytrees.dummy_rays(16)
+    model, variables = construct.construct_model(rng, dummy, config, dataset=dataset)
+    state, lr_fn = create_optimizer(config, variables)
+    if mesh is None:
+        mesh = mesh_lib.create_mesh()
+    render_eval_fn = create_render_fn(model, mesh=mesh)
+    train_step = create_train_step(model, config, mesh=mesh, dataset=dataset)
+    return model, state, render_eval_fn, train_step, lr_fn
+
+
+# --- Checkpoint surgery -----------------------------------------------------------
+
+
+def _flatten(params):
+    return flax.traverse_util.flatten_dict(flax.core.unfreeze(params), sep="/")
+
+
+def _unflatten(flat):
+    return flax.traverse_util.unflatten_dict(flat, sep="/")
+
+
+def replace_param_subset(state, source_params, put_prefix="", take_prefix="",
+                         exclude_prefixes=()):
+    """Copy params from source under take_prefix into state under put_prefix.
+
+    Parity with train_utils.py:3991-4032 — the mechanism by which stage N
+    warm-starts from stage N−1 (e.g. material stage pulling `params/Cache/...`
+    while keeping its fresh `params/MaterialShader`).
+    """
+    target_flat = _flatten(state.params)
+    source_flat = _flatten(source_params)
+    for k_src, v in source_flat.items():
+        if not k_src.startswith(take_prefix):
+            continue
+        k_dst = put_prefix + k_src[len(take_prefix):]
+        if any(k_dst.startswith(p) for p in exclude_prefixes):
+            continue
+        if k_dst in target_flat:
+            if target_flat[k_dst].shape != v.shape:
+                raise ValueError(
+                    f"Shape mismatch restoring {k_dst}: "
+                    f"{target_flat[k_dst].shape} vs {v.shape}"
+                )
+            target_flat[k_dst] = v
+    return state.replace(params=_unflatten(target_flat))
+
+
+def restore_partial_checkpoint(
+    state, source_params, prefixes=None, exclude_prefixes=(), replace_dict=None
+):
+    """Prefix-filtered restore with optional put/take prefix renaming."""
+    if replace_dict:
+        for put_prefix, take_prefix in replace_dict.items():
+            state = replace_param_subset(
+                state,
+                source_params,
+                put_prefix=put_prefix,
+                take_prefix=take_prefix,
+                exclude_prefixes=exclude_prefixes,
+            )
+        return state
+    for prefix in prefixes if prefixes is not None else [""]:
+        state = replace_param_subset(
+            state,
+            source_params,
+            put_prefix=prefix,
+            take_prefix=prefix,
+            exclude_prefixes=exclude_prefixes,
+        )
+    return state
