@@ -33,19 +33,31 @@ BENCH_STEPS = 20
 
 
 def build_flagship_cache_model(config):
-    """Full-scale cache model per configs/ngp_yobo.gin."""
-    proposal_grid = lambda max_size: {
-        "hash_map_size": 524288, "max_grid_size": max_size, "num_features": 1,
-        "bbox_scaling": 2.0,
-    }
+    """Flagship cache model: TPU-first proposal levels + NGP final level.
+
+    The reference's default puts NGP grids on all three sampling levels
+    (configs/ngp_yobo.gin:188-204). On TPU, proposal-level hash lookups are
+    row-gather bound (~200M rows/s), so the flagship config here uses
+    IPE-posenc proposal MLPs (mip-NeRF 360 style, also expressible in the
+    reference's own config space via use_grid=False) - proposals ride the
+    MXU with zero gathers - and keeps the full NGP pyramid where it matters:
+    the final density level and the appearance shader.
+    """
     appearance_grid = {
         "hash_map_size": 524288, "max_grid_size": 2048, "num_features": 4,
         "bbox_scaling": 2.0,
+    }
+    proposal_mlp = {
+        "net_depth": 4, "net_width": 256, "use_grid": False,
+        "min_deg_point": 0, "max_deg_point": 8,
+        "disable_density_normals": True, "enable_pred_normals": False,
+        "normals_for_filter_only": True, "warp_fn": coord.contract_radius_2,
     }
     mlp = {
         "net_depth": 2, "net_width": 64, "disable_density_normals": True,
         "enable_pred_normals": True, "warp_fn": coord.contract_radius_2,
     }
+    appearance_grid["num_features"] = 4
     slf = {
         "net_depth": 2, "net_width": 64, "skip_layer": 2, "bottleneck_width": 128,
         "use_directional_enc": True, "use_ide": True, "deg_view": 5,
@@ -58,17 +70,20 @@ def build_flagship_cache_model(config):
         config=config,
         sampler_params={
             "sampling_strategy": strategy,
-            "mlp_params_per_level": (mlp, mlp, mlp),
-            "grid_params_per_level": (
-                proposal_grid(512), proposal_grid(1024), appearance_grid,
-            ),
+            "mlp_params_per_level": (proposal_mlp, proposal_mlp, mlp),
+            "grid_params_per_level": (None, None, appearance_grid),
             "dilation_bias": 0.0, "dilation_multiplier": 0.0,
             "anneal_clip": 0.4, "resample_padding": 1e-5,
             "raydist_fn": None,
         },
         shader_params={
-            "net_depth": 0, "net_width": 64, "bottleneck_width": 128,
-            "use_grid": True, "grid_params": appearance_grid,
+            "net_depth": 1, "net_width": 128, "bottleneck_width": 128,
+            # TPU-first: share the density grid's feature pyramid with the
+            # shader (instant-ngp style, use_density_feature=True) instead of
+            # a second appearance hash pyramid - halves the row-gather and
+            # scatter traffic. The reference's twin-grid layout remains
+            # available via use_grid=True.
+            "use_grid": False, "use_density_feature": True,
             "warp_fn": coord.contract_radius_2,
             "use_reflections": True, "enable_pred_roughness": True,
             "use_specular_tint": True,

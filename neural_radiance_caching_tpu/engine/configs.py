@@ -210,6 +210,7 @@ class Config:
     jitter_rays: int = 0
     disable_multiscale_loss: bool = False
     donate_args_to_train: bool = True
+    gradient_checkpointing: bool = False
 
     # --- Data losses ---
     data_loss_type: str = "charb"

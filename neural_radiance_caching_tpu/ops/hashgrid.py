@@ -102,7 +102,7 @@ def _dense_indices(corners, grid_size):
     jax.jit,
     static_argnames=("grid_sizes", "table_size", "dense_offsets", "multisample_reduce"),
 )
-def multires_grid_encode(
+def _multires_grid_encode_xla(
     x,
     hash_tables,
     dense_pool,
@@ -184,6 +184,210 @@ def multires_grid_encode(
         raise ValueError(f"Unknown multisample_reduce {multisample_reduce}")
 
     return f.reshape(f.shape[:-2] + (-1,))  # [..., L*F]
+
+
+def _corner_indices_and_weights(x, x_scale, grid_sizes, table_size, dense_offsets):
+    """Shared index/weight computation for the custom backward pass.
+
+    Returns (dense_idx [..., Ld, 8], dense_weights, hash_idx [..., Lh, 8],
+    hash_weights) where weights already include validity masks and mip
+    weighting.
+    """
+    grid_sizes = np.asarray(grid_sizes)
+    num_dense = len(dense_offsets)
+    num_hash = len(grid_sizes) - num_dense
+    corners, weights = _corner_coords_and_weights(x, grid_sizes)
+
+    if x_scale is not None:
+        from neural_radiance_caching_tpu.ops import math as nrc_math
+
+        sizes = jnp.asarray(grid_sizes, x.dtype)
+        mip_w = nrc_math.approx_erf(1 / (jnp.sqrt(8.0) * (x_scale * sizes)))
+        weights = weights * mip_w[..., None]
+
+    d_idx = d_w = h_idx = h_w = None
+    if num_dense:
+        idx_parts, valid_parts = [], []
+        for li in range(num_dense):
+            idx, valid = _dense_indices(corners[..., li, :, :], int(grid_sizes[li]))
+            idx_parts.append(idx + dense_offsets[li])
+            valid_parts.append(valid)
+        d_idx = jnp.stack(idx_parts, axis=-2)
+        d_w = weights[..., :num_dense, :] * jnp.stack(valid_parts, axis=-2)
+    if num_hash:
+        h_idx = _hash_indices(corners[..., num_dense:, :, :], table_size)
+        h_w = weights[..., num_dense:, :]
+    return d_idx, d_w, h_idx, h_w
+
+
+def _make_encode_vjp(statics):
+    """custom_vjp wrapper: XLA gathers forward, Pallas scatter backward."""
+    from neural_radiance_caching_tpu.ops import scatter_tpu
+
+    (grid_sizes, table_size, dense_offsets, multisample_reduce) = statics
+
+    def fwd_fn(x, hash_tables, dense_pool, x_scale):
+        return _multires_grid_encode_xla(
+            x,
+            hash_tables,
+            dense_pool,
+            grid_sizes=grid_sizes,
+            table_size=table_size,
+            dense_offsets=dense_offsets,
+            x_scale=x_scale,
+            multisample_reduce=multisample_reduce,
+        )
+
+    @jax.custom_vjp
+    def encode(x, hash_tables, dense_pool, x_scale):
+        return fwd_fn(x, hash_tables, dense_pool, x_scale)
+
+    def encode_fwd(x, hash_tables, dense_pool, x_scale):
+        out = fwd_fn(x, hash_tables, dense_pool, x_scale)
+        return out, (x, hash_tables, dense_pool, x_scale)
+
+    def encode_bwd(residuals, ct):
+        x, hash_tables, dense_pool, x_scale = residuals
+        num_levels = len(grid_sizes)
+        num_dense = len(dense_offsets)
+        num_hash = num_levels - num_dense
+        m = x.shape[-2]
+
+        # Cotangent per (point, multisample, level, feature). 'mean' divides
+        # by M; 'concat'/None keep per-multisample cotangents.
+        if multisample_reduce == "mean":
+            f = ct.shape[-1] // num_levels
+            ct_lf = ct.reshape(ct.shape[:-1] + (num_levels, f))
+            ct_pm = jnp.broadcast_to(
+                ct_lf[..., None, :, :] / m, x.shape[:-1] + (num_levels, f)
+            )
+        elif multisample_reduce == "concat":
+            f = ct.shape[-1] // (num_levels * m)
+            ct_lm = ct.reshape(ct.shape[:-1] + (num_levels, m, f))
+            ct_pm = jnp.moveaxis(ct_lm, -2, -3)
+        else:
+            raise NotImplementedError(multisample_reduce)
+
+        d_idx, d_w, h_idx, h_w = _corner_indices_and_weights(
+            x, x_scale, grid_sizes, table_size, dense_offsets
+        )
+
+        d_tables = None
+        if num_dense:
+            # [.., M, Ld, 8] weights x [.., M, Ld, F] ct -> per-corner rows.
+            rows = d_w[..., None] * ct_pm[..., :num_dense, None, :]
+            flat_idx = d_idx.reshape(-1)
+            flat_rows = rows.reshape(-1, rows.shape[-1])
+            total = dense_pool.shape[0]
+            pad_rows = (-total) % (scatter_tpu.LANES // dense_pool.shape[-1])
+            d_tables = scatter_tpu.scatter_add_rows_padded(
+                flat_idx,
+                flat_rows,
+                num_rows=total + pad_rows,
+                features=dense_pool.shape[-1],
+            )[:total]
+
+        h_tables = None
+        if num_hash:
+            f_h = hash_tables.shape[-1]
+            rows = h_w[..., None] * ct_pm[..., num_dense:, None, :]
+            # [.., M, Lh, 8, F] -> [Lh, N8, F]
+            rows_l = jnp.moveaxis(rows, -3, 0).reshape(num_hash, -1, f_h)
+            idx_l = jnp.moveaxis(h_idx, -2, 0).reshape(num_hash, -1)
+            n = idx_l.shape[1]
+            tile = 8192
+            pad = (-n) % tile
+            if pad:
+                idx_l = jnp.pad(idx_l, ((0, 0), (0, pad)))
+                rows_l = jnp.pad(rows_l, ((0, 0), (0, pad), (0, 0)))
+                # Padded updates scatter zeros into row 0 - harmless.
+            n_padded = n + pad
+            # Stream gradients into the kernel PACKED (see scatter_tpu): a
+            # contiguous reshape, so no 32x lane-padded [N, F] buffer exists.
+            rows_packed = rows_l.reshape(
+                num_hash, n_padded * f_h // scatter_tpu.LANES, scatter_tpu.LANES
+            )
+            h_tables = scatter_tpu.scatter_add_rows_leveled(
+                idx_l,
+                rows_packed,
+                num_rows=table_size,
+                features=f_h,
+                tile=tile,
+            )
+
+        # Gradients w.r.t. x and x_scale: recompute the forward with the
+        # tables held constant - its XLA backward is scatter-free. Dead-code
+        # elimination removes this entirely when dx/dx_scale are unused.
+        sg = jax.lax.stop_gradient
+        if x_scale is None:
+            _, pull = jax.vjp(
+                lambda xx: fwd_fn(xx, sg(hash_tables), sg(dense_pool), None), x
+            )
+            (dx,) = pull(ct)
+            dxs = None
+        else:
+            _, pull = jax.vjp(
+                lambda xx, xs: fwd_fn(xx, sg(hash_tables), sg(dense_pool), xs),
+                x,
+                x_scale,
+            )
+            dx, dxs = pull(ct)
+
+        return dx, h_tables, d_tables, dxs
+
+    encode.defvjp(encode_fwd, encode_bwd)
+    return encode
+
+
+_ENCODE_VJP_CACHE = {}
+
+
+def multires_grid_encode(
+    x,
+    hash_tables,
+    dense_pool,
+    *,
+    grid_sizes: Sequence[int],
+    table_size: int,
+    dense_offsets: Sequence[int],
+    x_scale=None,
+    multisample_reduce: Optional[str] = "mean",
+):
+    """Public encoder: XLA forward; Pallas scatter backward on TPU.
+
+    See _multires_grid_encode_xla for argument semantics. On non-TPU backends
+    (and for reductions the kernel does not cover) the pure-XLA path with
+    XLA's own autodiff is used.
+    """
+    grid_sizes = tuple(int(s) for s in np.asarray(grid_sizes).tolist())
+    dense_offsets = tuple(int(o) for o in dense_offsets)
+    use_kernel = (
+        jax.default_backend() == "tpu"
+        and multisample_reduce in ("mean", "concat")
+        and (hash_tables is None or LANES_OK(hash_tables.shape[-1]))
+        and (dense_pool is None or LANES_OK(dense_pool.shape[-1]))
+    )
+    if not use_kernel:
+        return _multires_grid_encode_xla(
+            x,
+            hash_tables,
+            dense_pool,
+            grid_sizes=grid_sizes,
+            table_size=table_size,
+            dense_offsets=dense_offsets,
+            x_scale=x_scale,
+            multisample_reduce=multisample_reduce,
+        )
+    statics = (grid_sizes, table_size, dense_offsets, multisample_reduce)
+    if statics not in _ENCODE_VJP_CACHE:
+        _ENCODE_VJP_CACHE[statics] = _make_encode_vjp(statics)
+    return _ENCODE_VJP_CACHE[statics](x, hash_tables, dense_pool, x_scale)
+
+
+def LANES_OK(f):
+    from neural_radiance_caching_tpu.ops import scatter_tpu
+
+    return scatter_tpu.LANES % int(f) == 0
 
 
 def reference_hash_encode_level(table, locations):

@@ -1,0 +1,179 @@
+"""TPU scatter-add kernel for hash-table gradients.
+
+XLA's scatter-add on TPU executes ~11-16M rows/s (a serial update loop);
+the backward pass of the multiresolution hash encoding needs tens of
+millions of row-adds per train step, which made it the dominant cost of
+training (measured ~3.9s of a 4.7s step at batch 8192).
+
+Design notes (all constraints measured on a v5e chip):
+  * The accumulator lives in VMEM as a PACKED table: logical rows of F
+    floats are packed SLOTS = 128/F per 128-lane physical row, so a level's
+    accumulator occupies T*F*4 bytes exactly instead of the 32x lane-padded
+    [T, 128] layout XLA would allocate (which exceeds VMEM).
+  * Gradient rows are ALSO streamed packed as [N*F/128, 128] physical rows
+    (the caller reshapes; the 8 corners x F floats of a lookup are already
+    contiguous). Feeding [N, F] directly would pin a 32x lane-padded
+    multi-GB buffer in HBM via the kernel's operand layout constraint.
+  * Each update extracts its F lanes with a static mask, places them at
+    its slot with one dynamic roll, and read-modify-writes one packed row.
+  * C independent accumulator banks break the read-after-write dependence
+    between consecutive updates so the VPU can pipeline them; banks are
+    summed afterwards (updates are assigned banks round-robin statically).
+
+Exact (f32 sums up to reordering); ~2-2.5x faster than XLA's scatter and
+with no pathological memory footprint.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _scatter_kernel(features, banks, tile, idx_ref, gp_ref, *out_refs):
+    """Grid = (levels, tiles). gp_ref holds packed gradient rows.
+
+    idx_ref: [tile] SMEM logical row indices for this tile.
+    gp_ref: [tile*F/128, 128] VMEM packed gradient rows.
+    out_refs: banks x [1, T*F/128, 128] packed accumulator windows.
+    """
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        for o in out_refs:
+            o[:] = jnp.zeros_like(o)
+
+    slots = LANES // features
+    packed_per_tile = tile * features // LANES
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+    def body(r, _):
+        gp = gp_ref[r, :].reshape(1, LANES)
+        for u in range(slots):
+            j = r * slots + u
+            i = idx_ref[j]
+            b = i // slots
+            s = i - b * slots
+            # Static extraction of this update's F lanes, zero elsewhere.
+            keep = (lane >= u * features) & (lane < (u + 1) * features)
+            gmask = jnp.where(keep, gp, 0.0)
+            # One dynamic roll moves lanes [u*F, u*F+F) to [s*F, s*F+F).
+            groll = pltpu.roll(gmask, (s - u) * features, 1)
+            out_refs[u % banks][0, b, :] += groll[0]
+        return 0
+
+    jax.lax.fori_loop(0, packed_per_tile, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_rows", "features", "banks", "tile", "interpret"),
+)
+def scatter_add_rows_leveled(idx, g_packed, *, num_rows, features, banks=4,
+                             tile=8192, interpret=False):
+    """Per-level scatter-add: [L, T, F] table gradients from packed updates.
+
+    The grid walks (level, tile); each level's banked accumulator window
+    ([T*F/128, 128], e.g. 8MB for T=2^19/F=4) lives in VMEM only while that
+    level's updates stream through, so any number of levels fits.
+
+    Args:
+      idx: [L, N] int32 logical row indices in [0, num_rows); N % tile == 0.
+      g_packed: [L, N*features/128, 128] float32 packed gradient rows -
+        update j's row occupies lanes [(j%slots)*F, (j%slots+1)*F) of packed
+        row j//slots, i.e. a plain reshape of a contiguous [L, N, F] array.
+      num_rows: per-level table height (must be a multiple of 128/features).
+      features: row width F; must divide 128.
+
+    Returns:
+      [L, num_rows, features] float32 accumulated gradients.
+    """
+    if LANES % features:
+        raise ValueError(f"features={features} must divide {LANES}")
+    levels, n = idx.shape
+    if n % tile:
+        raise ValueError(f"N={n} must be a multiple of tile={tile}")
+    slots = LANES // features
+    if num_rows % slots:
+        raise ValueError(f"num_rows={num_rows} must be a multiple of {slots}")
+    packed_rows = num_rows * features // LANES
+    packed_per_tile = tile * features // LANES
+
+    idx_flat = idx.reshape(levels * n).astype(jnp.int32)
+    gp_flat = g_packed.reshape(levels * n * features // LANES, LANES)
+    tiles_per_level = n // tile
+
+    kern = functools.partial(_scatter_kernel, features, banks, tile)
+    outs = pl.pallas_call(
+        kern,
+        grid=(levels, tiles_per_level),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((levels, packed_rows, LANES), jnp.float32)
+            for _ in range(banks)
+        ),
+        in_specs=[
+            pl.BlockSpec((tile,), lambda l, i, t=tiles_per_level: (l * t + i,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (packed_per_tile, LANES),
+                lambda l, i, t=tiles_per_level: (l * t + i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((1, packed_rows, LANES), lambda l, i: (l, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(banks)
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 2**20,
+        ),
+        interpret=interpret,
+    )(idx_flat, gp_flat)
+
+    acc = outs[0]
+    for o in outs[1:]:
+        acc = acc + o
+    return acc.reshape(levels, num_rows, features)
+
+
+def scatter_add_rows_padded(idx, g, *, num_rows, features, banks=4, tile=8192):
+    """Single-table scatter-add from an UNPACKED contiguous [N, F] g.
+
+    Pads N to a tile multiple (pad updates add zeros to row 0) and packs g by
+    reshape. num_rows is padded up to a multiple of 128/features and the
+    result sliced back.
+    """
+    slots = LANES // features
+    if tile % slots:
+        raise ValueError(f"tile={tile} must be a multiple of {slots}")
+    n = idx.shape[0]
+    pad_updates = (-n) % tile
+    if pad_updates:
+        idx = jnp.concatenate([idx, jnp.zeros((pad_updates,), idx.dtype)])
+        g = jnp.concatenate([g, jnp.zeros((pad_updates,) + g.shape[1:], g.dtype)])
+    n_padded = n + pad_updates
+    rows_padded = num_rows + ((-num_rows) % slots)
+    g_packed = g.reshape(1, n_padded * features // LANES, LANES)
+    out = scatter_add_rows_leveled(
+        idx.reshape(1, n_padded),
+        g_packed,
+        num_rows=rows_padded,
+        features=features,
+        banks=banks,
+        tile=tile,
+    )[0]
+    return out[:num_rows]
+
+
+def scatter_fits_vmem(num_rows, features, banks=4, budget_bytes=100 * 2**20):
+    """Whether the banked accumulator fits the VMEM budget (~128MB on v5e)."""
+    return num_rows * features * 4 * banks <= budget_bytes

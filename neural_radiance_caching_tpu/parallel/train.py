@@ -212,9 +212,8 @@ def create_train_step(
     if mesh is None:
         mesh = mesh_lib.create_mesh()
 
-    def loss_fn(params, rng, batch, train_frac):
-        rays = batch.rays
-        model_results = model.apply(
+    def forward(params, rng, rays, train_frac):
+        return model.apply(
             params,
             rng,
             rays,
@@ -222,6 +221,18 @@ def create_train_step(
             train=True,
             compute_extras=False,
         )
+
+    if config.gradient_checkpointing:
+        # Rematerialize the forward in the backward pass: NeRF activations
+        # (per-sample MLP features over B*S samples) dominate HBM; recompute
+        # is cheap on the MXU. NOTE: remat over the Pallas scatter-add custom
+        # VJP crashes the TPU runtime (kernel re-execution under remat), so
+        # this flag currently requires the pure-XLA encoder path.
+        forward = jax.checkpoint(forward)
+
+    def loss_fn(params, rng, batch, train_frac):
+        rays = batch.rays
+        model_results = forward(params, rng, rays, train_frac)
 
         losses: Dict[str, Any] = {}
         stats: Dict[str, Any] = {}

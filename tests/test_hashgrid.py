@@ -121,3 +121,24 @@ def test_multisample_mean_reduce():
     batched = enc(x)
     manual = jnp.stack([enc(x[:, i : i + 1, :]) for i in range(4)]).mean(0)
     np.testing.assert_allclose(batched, manual, atol=1e-6)
+
+
+def test_custom_vjp_matches_xla_grads():
+    """The TPU scatter custom-VJP path must match XLA autodiff exactly.
+
+    On CPU the public encoder uses the XLA path, so here we exercise the
+    custom VJP machinery directly through its builder (interpret mode covers
+    the kernel semantics on CPU via the leveled scatter below).
+    """
+    from neural_radiance_caching_tpu.ops import scatter_tpu
+
+    key = jax.random.PRNGKey(0)
+    T, F, L, N = 512, 4, 3, 8192
+    idx = jax.random.randint(key, (L, N), 0, T, jnp.int32)
+    g = jax.random.normal(key, (L, N, F))
+    g_packed = g.reshape(L, N * F // scatter_tpu.LANES, scatter_tpu.LANES)
+    out = scatter_tpu.scatter_add_rows_leveled(
+        idx, g_packed, num_rows=T, features=F, tile=1024, interpret=True
+    )
+    ref = jnp.stack([jnp.zeros((T, F)).at[idx[l]].add(g[l]) for l in range(L)])
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
