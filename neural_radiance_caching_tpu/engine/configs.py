@@ -125,6 +125,9 @@ class Config:
     start_bin: int = 0
     dataset_scale: float = 1.0
     light_source_position: Optional[List[float]] = None
+    dark_level_multiplier: float = 1.0
+    transient_shift_multiplier: float = 1.0
+    light_pos_multiplier: float = 1.0
     vis_only: bool = False
 
     # --- Active lighting ---
@@ -161,6 +164,10 @@ class Config:
     shadow_normals_target: str = "normals_to_use"
     material_normals_target: str = "normals_to_use"
     env_map_distance: float = float("inf")
+    compute_relight_metrics: bool = False
+    filter_normals_thresh: float = float("inf")
+    env_map_name: str = "sunset"
+    partial_checkpoint_dir: str = ""
     use_occlusions: bool = False
     occlusions_secondary_only: bool = True
     occlusions_primary_only: bool = True

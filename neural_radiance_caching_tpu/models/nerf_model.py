@@ -667,3 +667,37 @@ class TransientNeRFModel(BaseNeRFModel):
         shader_results["rgb"] = rgb_ones
         shader_results["direct_rgb"] = rgb_ones
         return shader_results
+
+
+@gin.configurable
+class VignetteMap(nn.Module):
+    """Per-ray vignette multiplier MLP on dot(viewdir, look) (models.py:985-1040)."""
+
+    config: Any = None
+
+    deg_vignette: int = 2
+    net_depth_vignette: int = 2
+    net_width_vignette: int = 64
+    skip_layer_vignette: int = 4
+    net_activation: Any = nn.relu
+
+    @nn.compact
+    def __call__(self, rays):
+        from neural_radiance_caching_tpu.ops import coord
+
+        v_input = math.dot(rays.viewdirs, rays.look, axis=-1, keepdims=True)
+        x = coord.pos_enc(v_input, 0, self.deg_vignette, True)
+        inputs = x
+        for i in range(self.net_depth_vignette):
+            x = nn.Dense(
+                self.net_width_vignette,
+                kernel_init=jax.nn.initializers.he_uniform(),
+                name=f"layer_{i}",
+            )(x)
+            x = self.net_activation(x)
+        if i % self.skip_layer_vignette == 0 and i > 0:
+            x = jnp.concatenate([x, inputs], axis=-1)
+        out = nn.Dense(
+            1, kernel_init=jax.nn.initializers.he_uniform(), name="output_layer"
+        )(x)
+        return nn.sigmoid(out) * 2.0

@@ -115,21 +115,43 @@ def create_optimizer(config, variables):
 def _compute_losses_for_output(
     key, batch, rays, model_results, config, train_frac, main_name, losses, stats
 ):
-    """Per-output losses over one 'main'-style results dict."""
+    """Per-output losses over one 'main'-style results dict.
+
+    Each output carries its own loss_weight/loss_type/linear_to_srgb (the
+    reference deep-copies a per-output Config, train_utils.py:2998-3080); we
+    override the relevant Config fields through a lightweight shim.
+    """
+    import dataclasses as _dc
+
     results = model_results[main_name]
     rendering = model_results["render"] if main_name == "main" else results["integrator"]
     prefix = "" if main_name == "main" else main_name.replace("main", "")
 
+    out_config = config
+    loss_weight = 1.0
+    if isinstance(results, dict) and "loss_type" in results:
+        out_config = _dc.replace(
+            config,
+            data_loss_type=results["loss_type"],
+            linear_to_srgb=results.get("linear_to_srgb", config.linear_to_srgb),
+            is_material=(main_name == "main" and results.get("sampler") is None),
+        )
+        loss_weight = results.get("loss_weight", 1.0)
+
     data_loss, data_stats = losses_lib.compute_data_loss(
-        batch, rendering, rays, config, main=(main_name == "main"), train_frac=train_frac,
-        transient=config.use_transient,
+        batch, rendering, rays, out_config, main=(main_name == "main"),
+        train_frac=train_frac, transient=config.use_transient,
     )
-    losses[prefix + "data"] = config.data_loss_mult * data_loss
+    losses[prefix + "data"] = config.data_loss_mult * loss_weight * data_loss
     for k, v in data_stats.items():
         stats[prefix + k] = v
 
     ray_history = results["sampler"]
     last = results["geometry"]
+    if ray_history is None or last is None:
+        # Material outputs have no sampler of their own; geometry losses
+        # apply to the cache output only.
+        return losses, stats
 
     if any(m > 0 for m in config.interlevel_loss_mults):
         interlevel = losses_lib.compute_interlevel_loss(
@@ -233,6 +255,26 @@ def create_train_step(
     def loss_fn(params, rng, batch, train_frac):
         rays = batch.rays
         model_results = forward(params, rng, rays, train_frac)
+
+        if config.use_gradient_debias and "cache_main" in model_results:
+            # Flash Cache gradient debiasing: a second forward pass with
+            # independent secondary-ray randomness but the SAME cache sampler
+            # results / surface points; `rgb_nocorr` makes the squared losses
+            # unbiased (reference _run_model_forward, train_utils.py:3404-3547).
+            rng_nocorr = jax.random.fold_in(rng, 0x5eed)
+            nocorr_results = model.apply(
+                params,
+                rng_nocorr,
+                rays,
+                train_frac=train_frac,
+                train=True,
+                compute_extras=False,
+                cache_outputs={"sampler": model_results["cache_main"]["sampler"]},
+                filtered_sampler_inds=model_results["cache_main"][
+                    "filtered_sampler_inds"
+                ],
+            )
+            model_results["render"]["rgb_nocorr"] = nocorr_results["render"]["rgb"]
 
         losses: Dict[str, Any] = {}
         stats: Dict[str, Any] = {}
