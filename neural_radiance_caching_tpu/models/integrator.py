@@ -266,7 +266,10 @@ class TransientVolumeIntegrator(VolumeIntegrator):
             bg_intensity_range = self.bg_intensity_range
         bg_rgbs, random_background = self._background(rng, shader_results, bg_intensity_range)
 
-        if self.config.learnable_light:
+        if self.config.learnable_light and radiance_cache is not None:
+            # The learnable light lives on the material shader
+            # (integration.py:477-489); standalone cache models fall back to
+            # the configured constants.
             transient_shift = radiance_cache.shader.learnable_light.get_transient_shift()
             dark_level = radiance_cache.shader.learnable_light.get_dark_level()
         else:

@@ -145,6 +145,7 @@ class BaseMaterialModel(nerf_model.Model):
         if self.use_vignette and not is_secondary:
             vignette = self.vignette_map(rays)
 
+        render_kwargs.setdefault("radiance_cache", self)
         key, rng = jaxutil.random_split(rng)
         cache_outputs = self._handle_cache_pass(
             rng=key,
@@ -198,7 +199,6 @@ class BaseMaterialModel(nerf_model.Model):
                 light_sampler_results=light_sampler_results,
                 compute_extras=compute_extras,
                 extra_ray_regularizer=extra_ray_regularizer,
-                radiance_cache=self,
                 **render_kwargs,
             )
         else:
@@ -409,7 +409,6 @@ class BaseMaterialModel(nerf_model.Model):
             train_frac=train_frac,
             train=train,
             is_secondary=is_secondary,
-            radiance_cache=self,
             **render_kwargs,
         )
         filtered_results_material["occ"] = jax.lax.stop_gradient(
@@ -452,6 +451,7 @@ class BaseMaterialModel(nerf_model.Model):
                               cache_outputs, cache_shader_results,
                               filtered_sampler_results, light_sampler_results,
                               compute_extras, extra_ray_regularizer, **render_kwargs):
+        render_kwargs.setdefault("radiance_cache", self)
         key, rng = jaxutil.random_split(rng)
         material_shader_results = self.shader(
             rng=key,

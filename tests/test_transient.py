@@ -1,0 +1,148 @@
+"""Transient (InvProp) models: time-binned cache + material, learnable light."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_radiance_caching_tpu.engine.configs import Config
+from neural_radiance_caching_tpu.models.material_model import TransientMaterialModel
+from neural_radiance_caching_tpu.models.nerf_model import TransientNeRFModel
+from neural_radiance_caching_tpu.ops import coord, render
+from neural_radiance_caching_tpu.utils import pytrees
+from test_material_model import MLP, SLF, STRATEGY, TINY_GRID
+
+N_BINS = 16
+
+
+def make_config():
+    return Config(
+        near=0.2, far=6.0, secondary_far=2.0, mask_lossmult=False,
+        material_loss_radius=2.0, use_transient=True, n_bins=N_BINS,
+        exposure_time=0.5, learnable_light=True,
+        light_source_position=[0.0, 0.0, 1.0],
+    )
+
+
+def cache_params():
+    return {
+        "sampler_params": {
+            "sampling_strategy": STRATEGY,
+            "mlp_params_per_level": (MLP, MLP, MLP),
+            "grid_params_per_level": (TINY_GRID, TINY_GRID, TINY_GRID),
+            "dilation_bias": 0.0, "dilation_multiplier": 0.0, "raydist_fn": None,
+        },
+        "shader_params": {
+            "net_depth": 0, "net_width": 8, "bottleneck_width": 8,
+            "use_grid": True, "grid_params": TINY_GRID,
+            "warp_fn": coord.contract_radius_2,
+            "use_reflections": True, "use_ambient": False, "use_indirect": True,
+            "use_active": True, "surface_lf_params": SLF,
+            "net_depth_integrated_brdf": 1, "net_width_integrated_brdf": 8,
+            "net_depth_brdf": 1, "net_width_brdf": 8,
+            "net_depth_irradiance": 1, "net_width_irradiance": 8,
+            "rgb_activation": jax.nn.softplus,
+        },
+        "resample_secondary": True,
+        "train_sampling_strategy": STRATEGY,
+        "render_sampling_strategy": STRATEGY,
+    }
+
+
+def test_transient_cache_forward():
+    config = make_config()
+    config = config.__class__(**{**config.__dict__, "learnable_light": False})
+    model = TransientNeRFModel(config=config, **cache_params())
+    rays = pytrees.dummy_rays(4)
+    v = jax.jit(functools.partial(model.init, train_frac=1.0, train=True))(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1), rays
+    )
+    out = model.apply(v, jax.random.PRNGKey(2), rays, train_frac=0.5, train=True)
+    assert out["render"]["rgb"].shape == (4, N_BINS, 3)
+    assert np.isfinite(out["render"]["rgb"]).all()
+    assert out["render"]["transient_direct"].shape == (4, N_BINS, 3)
+    assert out["render"]["transient_indirect"].shape == (4, N_BINS, 3)
+
+
+def test_transient_material_forward_and_grads():
+    config = make_config()
+    model = TransientMaterialModel(
+        config=config,
+        cache_model_params=cache_params(),
+        use_light_sampler=True,
+        light_sampler_params={
+            "net_depth": 1, "net_width": 8, "bottleneck_width": 8, "num_components": 4,
+            "use_density_feature": False, "use_grid": True, "grid_params": TINY_GRID,
+            "warp_fn": coord.contract_radius_2,
+        },
+        shader_params={
+            "net_depth": 0, "net_width": 8, "bottleneck_width": 8,
+            "use_density_feature": False, "use_grid": True, "grid_params": TINY_GRID,
+            "warp_fn": coord.contract_radius_2,
+            "num_secondary_samples": 4, "render_num_secondary_samples": 4,
+            "num_secondary_samples_diff": 2, "render_num_secondary_samples_diff": 2,
+            "cache_train_sampling_strategy": ((0, 0, 4), (2, 2, 4)),
+            "cache_render_sampling_strategy": ((0, 0, 4), (2, 2, 4)),
+            "net_depth_brdf": 1, "net_width_brdf": 8,
+            "use_brdf_correction": False, "use_active": True, "use_indirect": True,
+        },
+        resample=True, num_resample=1, slf_variate=False,
+    )
+    rays = pytrees.dummy_rays(4)
+    v = jax.jit(functools.partial(model.init, train_frac=1.0, train=True))(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1), rays
+    )
+    out = model.apply(v, jax.random.PRNGKey(2), rays, train_frac=0.5, train=True)
+    assert out["render"]["rgb"].shape == (4, N_BINS, 3)
+    assert np.isfinite(out["render"]["rgb"]).all()
+    # Learnable light calibration params exist under the material shader.
+    assert "LightSource" in v["params"]["MaterialShader"]
+
+    def loss(vv):
+        o = model.apply(vv, jax.random.PRNGKey(2), rays, train_frac=0.5, train=True)
+        return o["render"]["rgb"].sum() + o["cache_main"]["integrator"]["rgb"].sum()
+
+    g = jax.jit(jax.grad(loss))(v)
+    assert all(np.isfinite(x).all() for x in jax.tree_util.tree_leaves(g))
+
+
+def test_bin_direct_pulses_matches_reference_scatter():
+    """The MXU two-tap binning must equal the reference's flat scatter-add
+    (render.py:452-490)."""
+    key = jax.random.PRNGKey(0)
+    R, S, C, B = 6, 10, 3, 12
+    dists = jax.random.uniform(key, (R, S)) * (B - 2)
+    rgbs = jax.random.uniform(key, (R, S, C))
+    w = jax.random.uniform(key, (R, S))
+    got = render.bin_direct_pulses(dists, rgbs, w, B)
+
+    lo = np.maximum(np.floor(np.array(dists)), 0).astype(int)
+    hi = np.ceil(np.array(dists)).astype(int)
+    w_hi = np.array(dists) - lo
+    ref = np.zeros((R, B, C))
+    for r in range(R):
+        for s in range(S):
+            contrib = np.array(w)[r, s] * np.array(rgbs)[r, s]
+            ref[r, lo[r, s]] += contrib * (1 - w_hi[r, s])
+            if hi[r, s] < B:
+                ref[r, hi[r, s]] += contrib * w_hi[r, s]
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_shift_transient_matches_map_coordinates():
+    """Two-tap shift must equal the reference's map_coordinates resample
+    (render.py:493-507)."""
+    import jax.scipy.ndimage
+
+    key = jax.random.PRNGKey(1)
+    N, B, C = 5, 12, 3
+    t = jax.random.uniform(key, (N, B, C))
+    moves = jax.random.uniform(key, (N,)) * 4
+    got = render.shift_transient(t, moves, B)
+
+    x, y, z = jnp.meshgrid(jnp.arange(N), jnp.arange(B), jnp.arange(C), indexing="ij")
+    y = y - moves[:, None, None]
+    ref = jax.scipy.ndimage.map_coordinates(t, jnp.stack([x, y, z]), 1, mode="constant")
+    np.testing.assert_allclose(got, ref, atol=1e-5)
