@@ -129,6 +129,18 @@ class Config:
     transient_shift_multiplier: float = 1.0
     light_pos_multiplier: float = 1.0
     vis_only: bool = False
+    no_vis: bool = False
+    test_factor: Optional[int] = None
+    y_up: bool = False
+    img_scale: float = 1.0
+    flip_secondary: bool = False
+    eval_train: bool = False
+    eval_path: bool = False
+    vis_render_path: bool = False
+    fixed_light: bool = False
+    fixed_camera: bool = False
+    light_transform_idx: int = 0
+    round_roughness: bool = False
 
     # --- Active lighting ---
     use_falloff: bool = True
@@ -187,6 +199,7 @@ class Config:
     lr_delay_steps: int = 2500
     lr_delay_mult: float = 1e-8
     lr_factor: float = 1.0
+    lr_factor_mult: float = 1.0
     train_length_mult: int = 1
     adam_beta1: float = 0.9
     adam_beta2: float = 0.99
@@ -306,6 +319,10 @@ class Config:
     cache_consistency_fix_shader: bool = False
     cache_consistency_direct_weight: float = 1.0
     cache_consistency_indirect_weight: float = 1.0
+    cache_consistency_use_total: bool = False
+    cache_consistency_use_gauss: bool = True
+    emission_zero_loss_mult: float = 0.0
+    emission_constant_loss_mult: float = 0.0
     material_smoothness_noise: float = 0.01
     material_smoothness_weight_albedo: float = 0.0
     material_smoothness_weight_other: float = 0.0
@@ -319,6 +336,34 @@ class Config:
     material_correlation_weight_other: float = 0.0
     material_ray_sampler_interlevel_loss_mult: float = 0.0
     material_ray_sampler_normal_loss_mult: float = 0.0
+    material_ray_sampler_distortion_loss_mult: float = 1.0
+    material_ray_sampler_orientation_loss_mult: float = 1.0
+    extra_ray_regularizer: bool = False
+    extra_ray_type: str = "incoming"
+    extra_ray_loss_mult: float = 0.0
+    use_extra_ray_weight_ease: bool = False
+    extra_ray_weight_ease_frac: float = 0.0
+    extra_ray_weight_ease_start: float = 0.0
+    extra_ray_weight_ease_min: float = 0.0
+    use_consistency_weight_ease: bool = False
+    consistency_weight_ease_frac: float = 0.0
+    consistency_weight_ease_start: float = 0.0
+    consistency_weight_ease_min: float = 0.0
+    use_material_weight_ease: bool = False
+    material_weight_ease_frac: float = 0.0
+    material_weight_ease_start: float = 0.0
+    material_weight_ease_min: float = 0.0
+    use_surface_light_field_weight_ease: bool = False
+    surface_light_field_weight_ease_frac: float = 0.0
+    surface_light_field_weight_ease_start: float = 0.0
+    surface_light_field_weight_ease_min: float = 0.0
+    surface_light_field_is_secondary: bool = False
+    # extra_losses: {loss_name: {output_key: {"mult": float, "start_frac": float}}}
+    # synthesized per-stage by the Trainer (engine/trainer.py, reference
+    # engine/trainer.py:305-335 + configs/trainer.gin).
+    extra_losses: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    finetune_cache: bool = False
+    num_surface_light_field_samples: Optional[int] = None
     material_loss_radius: float = float("inf")
     emission_radius: float = float("inf")
     light_sampling_loss_weight: float = 0.0

@@ -691,7 +691,7 @@ class BaseMaterialModel(nerf_model.Model):
             if key in cache_outputs["integrator"]:
                 outputs["render"][f"cache_{key}"] = cache_outputs["integrator"][key]
 
-        shader_keys = integrator_keys[6:]
+        shader_keys = integrator_keys[6:] + ["transient_indirect"]
         for key in shader_keys:
             if key in cache_shader_results:
                 outputs["main"]["shader"][f"cache_{key}"] = cache_shader_results[key]

@@ -463,6 +463,23 @@ class BaseNeRFModel(Model):
         )
         cache_rays = jaxutil.partial_stopgrad_rays(rays, stopgrad_cache_weight)
 
+        passes = render_kwargs.pop("passes", ())
+        if "geometry" in passes:
+            # Geometry-only bypass (models.py:1256-1290): re-evaluate the final
+            # density MLP at externally supplied (possibly jittered) points —
+            # used by the geometry-smoothness regularizer.
+            geo_sampler_results = render_kwargs.pop("sampler_results")
+            render_kwargs.pop("compute_extras", None)
+            key, rng = jaxutil.random_split(rng)
+            return self.sampler.mlps[-1](
+                rng=key,
+                rays=rays,
+                gaussians=(geo_sampler_results["means"], geo_sampler_results["covs"]),
+                tdist=geo_sampler_results["tdist"],
+                train_frac=train_frac,
+                train=train,
+            )
+
         use_slf = render_kwargs.pop("use_slf", False)
         if use_slf and self.use_surface_light_field:
             key, rng = jaxutil.random_split(rng)

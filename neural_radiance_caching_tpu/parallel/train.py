@@ -30,6 +30,7 @@ import optax
 from flax.training.train_state import TrainState
 
 from neural_radiance_caching_tpu.engine import configs as configs_lib
+from neural_radiance_caching_tpu.parallel import extra_losses as extra_losses_lib
 from neural_radiance_caching_tpu.parallel import losses as losses_lib
 from neural_radiance_caching_tpu.parallel import mesh as mesh_lib
 from neural_radiance_caching_tpu.ops import math
@@ -276,13 +277,32 @@ def create_train_step(
             )
             model_results["render"]["rgb_nocorr"] = nocorr_results["render"]["rgb"]
 
+            # Graft per-sample `_nocorr` shader outputs for the consistency /
+            # residual-albedo losses (the reference merges the two forwards'
+            # renderings the same way, train_utils.py:3404-3547).
+            for out_key in ("main", "cache_main"):
+                shader = model_results.get(out_key, {}).get("shader")
+                nocorr_shader = nocorr_results.get(out_key, {}).get("shader")
+                if shader is None or nocorr_shader is None:
+                    continue
+                for k in ("diffuse_rgb", "specular_rgb", "direct_rgb",
+                          "indirect_rgb", "transient_indirect",
+                          "lighting_irradiance", "cache_diffuse_rgb",
+                          "cache_specular_rgb", "cache_direct_rgb",
+                          "cache_indirect_rgb", "cache_transient_indirect"):
+                    if k in nocorr_shader:
+                        shader[k + "_nocorr"] = nocorr_shader[k]
+
         losses: Dict[str, Any] = {}
         stats: Dict[str, Any] = {}
-        for key in model_results:
-            if key.endswith("main"):
-                _compute_losses_for_output(
-                    key, batch, rays, model_results, config, train_frac, key, losses, stats
-                )
+        for i, key in enumerate(sorted(k for k in model_results if k.endswith("main"))):
+            _compute_losses_for_output(
+                key, batch, rays, model_results, config, train_frac, key, losses, stats
+            )
+            extra_losses_lib.compute_extra_losses(
+                model, params, jax.random.fold_in(rng, 7919 + i),
+                rays, config, batch, model_results, key, losses, train_frac,
+            )
 
         reg_losses = losses_lib.param_regularizer_loss(params, config)
         for k, v in reg_losses.items():
