@@ -245,7 +245,13 @@ class SyntheticSpheres(Dataset):
     LIGHT = np.array([1.5, -1.5, 2.5], np.float32)
     AMBIENT = 0.25
 
-    def __init__(self, split, data_dir, config, num_images=16, resolution=48):
+    def __init__(self, split, data_dir, config, num_images=None, resolution=None):
+        if num_images is None:
+            num_images = (
+                config.num_dataset_images if config.num_dataset_images > 0 else 16
+            )
+        if resolution is None:
+            resolution = 48 // max(1, config.factor)
         self._num_images = num_images
         self._resolution = resolution
         super().__init__(split, data_dir, config)

@@ -431,7 +431,34 @@ class Config:
     np_rng_seed: int = 20201473
 
 
+def register_all_configurables():
+    """Import every module that defines gin configurables.
+
+    Gin names resolve at parse time, so the full class registry (models,
+    integrators, trainer) must be imported before a config file referencing
+    them is parsed — the reference gets this via `from internal import models`
+    in its entry scripts.
+    """
+    import importlib
+
+    for mod in (
+        "neural_radiance_caching_tpu.models.grids",
+        "neural_radiance_caching_tpu.models.geometry",
+        "neural_radiance_caching_tpu.models.sampler",
+        "neural_radiance_caching_tpu.models.surface_light_field",
+        "neural_radiance_caching_tpu.models.nerf_shader",
+        "neural_radiance_caching_tpu.models.integrator",
+        "neural_radiance_caching_tpu.models.nerf_model",
+        "neural_radiance_caching_tpu.models.light_sampler",
+        "neural_radiance_caching_tpu.models.material_shader",
+        "neural_radiance_caching_tpu.models.material_model",
+        "neural_radiance_caching_tpu.engine.trainer",
+    ):
+        importlib.import_module(mod)
+
+
 def load_config(config_files=(), bindings=()) -> Config:
     """Parse gin files/bindings then construct the bound Config."""
+    register_all_configurables()
     gin.parse_config_files_and_bindings(config_files=config_files, bindings=bindings)
     return Config()

@@ -135,6 +135,40 @@ def query(configurable_name: str, param: str, default=None):
     return get_bindings(configurable_name).get(param, default)
 
 
+_QUERY_SENTINEL = object()
+
+
+def query_parameter(full_name: str, default=_QUERY_SENTINEL):
+    """gin.query_parameter parity: 'Config.max_steps' -> bound value.
+
+    Falls back to the registered callable's dataclass/field default when the
+    parameter is not bound (the reference trainer queries defaults this way,
+    engine/trainer.py:129-296).
+    """
+    cname, param = full_name.rsplit(".", 1)
+    bindings = get_bindings(cname)
+    if param in bindings:
+        return bindings[param]
+    with _LOCK:
+        target = _REGISTRY.get(cname)
+    if target is not None:
+        import dataclasses as _dc
+
+        if isinstance(target, type) and _dc.is_dataclass(target):
+            for f in _dc.fields(target):
+                if f.name == param:
+                    if f.default is not _dc.MISSING:
+                        return f.default
+                    if f.default_factory is not _dc.MISSING:  # type: ignore[misc]
+                        return f.default_factory()  # type: ignore[misc]
+        elif isinstance(target, type):
+            if hasattr(target, param):
+                return getattr(target, param)
+    if default is not _QUERY_SENTINEL:
+        return default
+    raise GinError(f"No binding or default for {full_name}")
+
+
 def operative_config_str() -> str:
     """Render current bindings as gin-ish text (for logging/checkpoints)."""
     lines = []
