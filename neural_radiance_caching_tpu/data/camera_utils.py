@@ -33,6 +33,141 @@ def get_pixtocam(focal, width, height, xnp=np):
     return xnp.linalg.inv(camtopix)
 
 
+def intrinsic_matrix(fx, fy, cx, cy, xnp=np):
+    """Intrinsic matrix from focal lengths + principal point
+    (camera_utils.py parity)."""
+    return xnp.array(
+        [[fx, 0, cx], [0, fy, cy], [0, 0, 1]], dtype=xnp.float32
+    )
+
+
+def pixel_coordinates(width, height, xnp=np):
+    """Integer (x, y) pixel grids, 'xy' indexing."""
+    return xnp.meshgrid(xnp.arange(width), xnp.arange(height), indexing="xy")
+
+
+def pad_poses(p):
+    """[... 3 4] -> [... 4 4] with a bottom (0,0,0,1) row."""
+    bottom = np.broadcast_to([0, 0, 0, 1.0], p[..., :1, :4].shape)
+    return np.concatenate([p[..., :3, :4], bottom], axis=-2)
+
+
+def unpad_poses(p):
+    return p[..., :3, :4]
+
+
+def viewmatrix(lookdir, up, position):
+    """Camera-to-world from viewing direction + up + position."""
+
+    def normalize(x):
+        return x / (np.linalg.norm(x) + 1e-12)
+
+    vec2 = normalize(lookdir)
+    vec0 = normalize(np.cross(up, vec2))
+    vec1 = normalize(np.cross(vec2, vec0))
+    return np.stack([vec0, vec1, vec2, position], axis=1)
+
+
+def average_pose(poses):
+    """Mean camera pose (mip-NeRF 360 recentering)."""
+    position = poses[:, :3, 3].mean(0)
+    z_axis = poses[:, :3, 2].mean(0)
+    up = poses[:, :3, 1].mean(0)
+    return viewmatrix(z_axis, up, position)
+
+
+def recenter_poses(poses):
+    """Recenter around the average pose; returns (poses, transform [4,4])."""
+    cam2world = average_pose(poses)
+    transform = np.linalg.inv(pad_poses(cam2world[None])[0])
+    poses = transform @ pad_poses(poses)
+    return unpad_poses(poses), transform
+
+
+def transform_poses_pca(poses):
+    """Align the world frame to the principal axes of the camera positions
+    (camera_utils.transform_poses_pca parity; standard mip-360 math)."""
+    t = poses[:, :3, 3]
+    t_mean = t.mean(axis=0)
+    t = t - t_mean
+
+    eigval, eigvec = np.linalg.eig(t.T @ t)
+    inds = np.argsort(eigval)[::-1]
+    eigvec = eigvec[:, inds]
+    rot = eigvec.T
+    if np.linalg.det(rot) < 0:
+        rot = np.diag(np.array([1, 1, -1])) @ rot
+
+    transform = np.concatenate([rot, rot @ -t_mean[:, None]], -1)
+    poses_recentered = unpad_poses(transform @ pad_poses(poses))
+    transform = np.concatenate([transform, np.eye(4)[3:]], axis=0)
+
+    # Flip coordinate system if z component of y-axis is negative.
+    if poses_recentered.mean(axis=0)[2, 1] < 0:
+        poses_recentered = np.diag(np.array([1, -1, -1])) @ poses_recentered
+        transform = np.diag(np.array([1, -1, -1, 1])) @ transform
+
+    # Scale to fit positions in [-1, 1]^3.
+    scale_factor = 1.0 / np.max(np.abs(poses_recentered[:, :3, 3]))
+    poses_recentered[:, :3, 3] *= scale_factor
+    transform = np.diag(np.array([scale_factor] * 3 + [1])) @ transform
+    return poses_recentered, transform
+
+
+def generate_ellipse_path(poses, n_frames=120, z_variation=0.0, z_phase=0.0,
+                          lock_up=False, relative_to_first_pose=False,
+                          flip_y=False, first_pose=None):
+    """Elliptical render path around the scene (camera_utils parity)."""
+    if first_pose is not None:
+        ref = np.array(first_pose)[:3, :4]
+    elif relative_to_first_pose:
+        ref = poses[0]
+    else:
+        ref = average_pose(poses)
+
+    center = poses[:, :3, 3].mean(axis=0)
+    offsets = poses[:, :3, 3] - center
+    sc = np.percentile(np.abs(offsets), 90, axis=0)
+
+    theta = np.linspace(0, 2 * np.pi, n_frames, endpoint=False)
+    positions = center + np.stack(
+        [
+            sc[0] * np.cos(theta),
+            sc[1] * np.sin(theta) * (-1.0 if flip_y else 1.0),
+            sc[2] * z_variation * np.sin(theta + z_phase),
+        ],
+        axis=-1,
+    )
+    positions = positions + ref[:3, 3] * 0.0  # path stays around the scene center
+
+    up = ref[:3, 1] if lock_up else poses[:, :3, 1].mean(0)
+    look_at = center
+    return np.stack(
+        [viewmatrix(look_at - p, up, p) for p in positions], axis=0
+    ).astype(np.float32)
+
+
+def gather_cameras(cameras, inds):
+    """Index each (possibly None / shared) camera array by inds.
+
+    Only arrays whose leading axis matches the number of cameras (taken from
+    the first element, the poses) are gathered; shared intrinsics pass through.
+    """
+    n = np.asarray(cameras[0]).shape[0]
+
+    def gather(x):
+        if x is None:
+            return None
+        if isinstance(x, dict):
+            return {k: gather(v) for k, v in x.items()}
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] == n:
+            return x[inds]
+        return x
+
+    return tuple(gather(c) for c in cameras)
+
+
 def pixels_to_rays(
     pix_x_int,
     pix_y_int,

@@ -1,14 +1,19 @@
 """Datasets and ray batching.
 
 Behavioral parity target: reference internal/datasets.py (Dataset ABC
-:591-1066, RayBatcher :1069-1150, Blender :1169-1425). This round ships the
-Blender/NGP-poses loader and a procedural `SyntheticSpheres` dataset used by
-tests and benchmarks when no data is on disk; the remaining 20 loaders land
-with the dataset phase.
+:591-1066, RayBatcher :1069-1150, pose loaders :333-555, loaders :1169-3770).
 
-Batching is host-side numpy: `_next_train` draws random pixels across all
-images, casts them to rays, and the training loop device_puts the batch with
-a data-axis NamedSharding (no per-device reshape, see parallel.mesh).
+Implemented loaders: blender, blender_active, transient_simulation,
+transient_simulation_itof, fwp_transient_captured, orb, open_illum, neilf,
+real, glossy_real, glossy_synthetic, llff, plus the procedural
+synthetic_spheres scene used by tests/benchmarks. The remaining reference
+loaders (tat_*, dtu, pixelrig, rtmv, aerial, fipt_*) dispatch to a clear
+NotImplementedError until their phase.
+
+Batching is host-side numpy: `next_train` draws random pixels (from stacked
+images, a flattened pixel table, or transient h5 sample streams), casts them
+to rays, and the training loop device_puts the batch with a data-axis
+NamedSharding (no per-device reshape, see parallel.mesh).
 """
 
 from __future__ import annotations
@@ -22,7 +27,8 @@ from typing import Optional
 import jax
 import numpy as np
 
-from neural_radiance_caching_tpu.data import camera_utils
+from neural_radiance_caching_tpu.data import camera_utils, env_maps
+from neural_radiance_caching_tpu.data import io as io_lib
 from neural_radiance_caching_tpu.ops import image as image_ops
 from neural_radiance_caching_tpu.utils import pytrees
 
@@ -31,9 +37,211 @@ def load_dataset(split, data_dir, config, **kwargs):
     """Dataset dispatcher (datasets.py:182-206)."""
     loaders = {
         "blender": Blender,
+        "blender_active": BlenderActive,
+        "transient_simulation": TransientSimulation,
+        "transient_simulation_itof": TransientSimulationIToF,
+        "fwp_transient_captured": FWPTransientCaptured,
+        "orb": ORB,
+        "open_illum": OpenIllum,
+        "neilf": Neilf,
+        "real": Real,
+        "glossy_real": GlossyReal,
+        "glossy_synthetic": GlossySynthetic,
+        "llff": LLFF,
         "synthetic_spheres": SyntheticSpheres,
     }
+    not_yet = ("fipt_real", "fipt_synthetic", "tat_nerfpp", "tat_fvs", "dtu",
+               "pixelrig", "rtmv", "aerial")
+    if config.dataset_loader in not_yet:
+        raise NotImplementedError(
+            f"dataset_loader={config.dataset_loader!r} is not implemented yet"
+        )
     return loaders[config.dataset_loader](split, data_dir, config, **kwargs)
+
+
+# --- pose loaders ----------------------------------------------------------------
+
+
+def _extract_ngp_intrinsics(frame, w, h):
+    focal_keys = ["fl_x", "fl_y", "camera_angle_x", "camera_angle_y", "focal_in_mm"]
+    if not any(k in frame for k in focal_keys):
+        return None
+    cx = frame.get("cx", w / 2.0)
+    cy = frame.get("cy", h / 2.0)
+    if "focal_in_mm" in frame:
+        fx = w * frame["focal_in_mm"] / frame["sensor_size_horizontal_in_mm"]
+    elif "fl_x" in frame:
+        fx = frame["fl_x"]
+    else:
+        fx = 0.5 * w / np.tan(0.5 * float(frame["camera_angle_x"]))
+    if "fl_y" in frame:
+        fy = frame["fl_y"]
+    elif "camera_angle_y" in frame:
+        fy = 0.5 * h / np.tan(0.5 * float(frame["camera_angle_y"]))
+    else:
+        fy = fx
+    return np.linalg.inv(camera_utils.intrinsic_matrix(fx, fy, cx, cy))
+
+
+def _extract_distortion(frame):
+    coeffs = ["k1", "k2", "p1", "p2"]
+    if not any(c in frame for c in coeffs):
+        return None
+    return {c: frame.get(c, 0.0) for c in coeffs}
+
+
+def _meta_camtype(meta):
+    if "camera_type" in meta:
+        if "fisheye" in meta["camera_type"]:
+            return camera_utils.ProjectionType.FISHEYE_EQUISOLID
+        return camera_utils.ProjectionType(meta["camera_type"])
+    return camera_utils.ProjectionType.PERSPECTIVE
+
+
+def load_ngp_posedata(config, data_dir, pose_file_name="transforms.json",
+                      require_files=False):
+    """Parse an instant-ngp/nerf-synthetic transforms JSON
+    (datasets.py:452-555).
+
+    Returns (names, camtoworlds [N,3,4 as stored NxMx4], pixtocams,
+    distortion_params, camtype, nameprefixes)."""
+    with open(os.path.join(data_dir, pose_file_name)) as f:
+        meta = json.load(f)
+    frames = meta["frames"]
+    if not isinstance(frames, list):
+        frames = [frames[k] for k in sorted(frames.keys())]
+    if config is not None and config.num_dataset_images > 0:
+        frames = frames[: config.num_dataset_images]
+
+    w = meta.get("w")
+    h = meta.get("h")
+
+    names, nameprefixes, camtoworlds, pixtocams, distortions = [], [], [], [], []
+    for frame in frames:
+        ext = io_lib.find_file(data_dir, frame)
+        if require_files and ext is None:
+            continue
+        filepath = frame["file_path"]
+        if w is None or h is None:
+            # Resolution not in the JSON: read one image to get it.
+            probe = os.path.join(data_dir, filepath + (ext or ""))
+            if os.path.exists(probe):
+                img = (
+                    io_lib.load_exr(probe)
+                    if probe.lower().endswith(".exr")
+                    else io_lib.load_img(probe)
+                )
+                h, w = img.shape[:2]
+            else:
+                w = h = None if config is None else config.width
+        names.append(os.path.basename(filepath) + (ext or ""))
+        nameprefixes.append(filepath)
+        camtoworlds.append(np.array(frame["transform_matrix"], np.float32))
+        pixtocams.append(
+            _extract_ngp_intrinsics(frame, w or 1, h or 1)
+        )
+        distortions.append(_extract_distortion(frame))
+    camtoworlds = np.stack(camtoworlds, axis=0).astype(np.float32)
+
+    if pixtocams[0] is None:
+        pixtocams = _extract_ngp_intrinsics(meta, w or 1, h or 1)
+    else:
+        pixtocams = np.stack(pixtocams, axis=0)
+    if distortions[0] is None:
+        distortions = _extract_distortion(meta)
+    else:
+        distortions = jax.tree_util.tree_map(lambda *a: np.array(a), *distortions)
+
+    return names, camtoworlds, pixtocams, distortions, _meta_camtype(meta), nameprefixes
+
+
+def load_fwp_posedata(config, data_dir, pose_file_name="transforms.json",
+                      frame_step=1):
+    """FWP captured transients: per-frame 'camera' intrinsic matrices scaled to
+    config.width (datasets.py:365-449)."""
+    with open(os.path.join(data_dir, pose_file_name)) as f:
+        meta = json.load(f)
+    frames = meta["frames"]
+    if not isinstance(frames, list):
+        frames = [frames[k] for k in sorted(frames.keys())]
+    if config.num_dataset_images > 0:
+        frames = frames[: config.num_dataset_images]
+    w, h = config.width, config.height
+
+    def extract_intrinsics(frame):
+        if "camera" not in frame:
+            return None
+        intrinsics = np.array(frame["camera"], np.float64)
+        factor = int(512 / w)
+        intrinsics = intrinsics / factor
+        intrinsics[2, 2] = 1
+        return np.linalg.inv(intrinsics)
+
+    names, nameprefixes, camtoworlds, pixtocams, distortions = [], [], [], [], []
+    for frame in frames[::frame_step]:
+        filepath = frame["file_path"]
+        nameprefixes.append(filepath)
+        names.append(os.path.splitext(os.path.basename(filepath))[0] + ".h5")
+        camtoworlds.append(np.array(frame["transform_matrix"], np.float32))
+        pixtocams.append(extract_intrinsics(frame))
+        distortions.append(_extract_distortion(frame))
+    camtoworlds = np.stack(camtoworlds, axis=0).astype(np.float32)
+    if pixtocams[0] is None:
+        pixtocams = extract_intrinsics(meta)
+    else:
+        pixtocams = np.stack(pixtocams, axis=0)
+    if distortions[0] is None:
+        distortions = _extract_distortion(meta)
+    else:
+        distortions = jax.tree_util.tree_map(lambda *a: np.array(a), *distortions)
+    return names, camtoworlds, pixtocams, distortions, _meta_camtype(meta), nameprefixes
+
+
+def load_llff_posedata(data_dir):
+    """poses_bounds.npy in the LLFF layout (datasets.py:333-363)."""
+    posefile = os.path.join(data_dir, "poses_bounds.npy")
+    if not os.path.exists(posefile):
+        raise ValueError(f"poses_bounds.npy does not exist in {data_dir}.")
+    poses_arr = np.load(posefile)
+    bounds = poses_arr[:, -2:]
+    poses_hwf = poses_arr[:, :-2].reshape([-1, 3, 5])
+    poses_llff = poses_hwf[:, :, :4]
+    # [down, right, backwards] -> [right, up, backwards].
+    nerf_to_llff = np.array(
+        [[0, -1, 0, 0], [1, 0, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]]
+    )
+    poses = poses_llff @ nerf_to_llff
+    h, w, f = poses_hwf[0, :, 4]
+    pixtocams = camera_utils.get_pixtocam(f, w, h)
+    return poses, pixtocams, None, camera_utils.ProjectionType.PERSPECTIVE, bounds
+
+
+def flatten_data(images, dim=3):
+    """Variable-resolution image list -> (pixels [P,dim], indices [P,3])."""
+
+    def flatten_and_concat(values, n):
+        return np.concatenate([np.array(z).reshape(-1, n) for z in values])
+
+    def index_array(i, w, h):
+        x, y = camera_utils.pixel_coordinates(w, h)
+        return np.stack([np.full((h, w), i), x, y], axis=-1)
+
+    indices = [
+        index_array(i, z.shape[1], z.shape[0]) for i, z in enumerate(images)
+    ]
+    return flatten_and_concat(images, dim), flatten_and_concat(indices, 3)
+
+
+def flatten_transient_data(images, n_bins, num_rgb_channels=3):
+    """Transient image list -> (pixels [P,T,C], indices [P,3])."""
+    pixels, indices = flatten_data(
+        [z.reshape(z.shape[0], z.shape[1], -1) for z in images],
+        dim=n_bins * num_rgb_channels,
+    )
+    return pixels.reshape(-1, n_bins, num_rgb_channels), indices
+
+
+# --- base class --------------------------------------------------------------------
 
 
 class Dataset:
@@ -44,81 +252,159 @@ class Dataset:
         self.data_dir = data_dir
         self.config = config
         self._patch_size = max(config.patch_size, 1)
-        self._batch_size = config.batch_size
+        self._batch_size = config.batch_size // jax.process_count()
         self.near = config.near
         self.far = config.far
         self._render_spherical = False
-        self._num_repeats = 1
+        self._flattened = False
+        self._use_tiffs = config.use_tiffs
+        self._use_exrs = config.use_exrs
+        self._load_disps = config.compute_disp_metrics or config.load_disps
+        self._load_normals = config.compute_normal_metrics or config.load_normals
+        self._load_albedos = config.compute_albedo_metrics or config.load_albedos
+        self._load_env_map = config.compute_relight_metrics
+        self.multi_illum = config.multi_illumination
+        self.rotate_illum = config.rotate_illumination
 
         self.images = None  # [N, H, W, 3] float32
         self.camtoworlds = None  # [N, 3, 4]
+        self.virtual_camtoworlds = None
         self.pixtocams = None  # [N or 1, 3, 3]
+        self.distortion_params = None
+        self.camtype = camera_utils.ProjectionType.PERSPECTIVE
         self.lights = None  # [N, 3]
         self.light_idx = None
         self.alphas = None
         self.masks = None
+        self.mask_images = None
         self.normal_images = None
         self.albedo_images = None
         self.depth_images = None
+        self.disp_images = None
+        self.exposure = 1.0
+        self.impulse_response = None
+        self.env_map = None
+        self.env_map_pmf = None
+        self.env_map_pdf = None
+        self.env_map_dirs = None
+        self.env_map_h = None
+        self.env_map_w = None
+        self.images_flattened = None
+        self.indices_flattened = None
+        self.light_idx_flattened = None
 
-        self._np_rng = np.random.RandomState(config.np_rng_seed + (0 if split == "train" else 1))
+        self._np_rng = np.random.RandomState(
+            config.np_rng_seed + (0 if split == "train" else 1)
+        )
         self._load_renderings(config)
 
-        self.num_images = self.images.shape[0]
-        self.height, self.width = self.images.shape[1:3]
-        if self.pixtocams.ndim == 2:
+        if self.images is not None:
+            self.num_images = self.images.shape[0]
+            self.height, self.width = self.images.shape[1:3]
+        else:
+            self.num_images = self.camtoworlds.shape[0]
+        if self.masks is None and self.mask_images is not None:
+            self.masks = np.asarray(self.mask_images, np.float32).reshape(
+                self.mask_images.shape[:3] + (-1,)
+            )[..., :1]
+        if self.pixtocams is not None and self.pixtocams.ndim == 2:
             self.pixtocams = self.pixtocams[None]
+        self.pixtocams = (
+            None if self.pixtocams is None else self.pixtocams.astype(np.float32)
+        )
         if self.lights is None:
             self.lights = self.camtoworlds[:, :3, -1]
+        if self.virtual_camtoworlds is None:
+            self.virtual_camtoworlds = self.camtoworlds
 
     def _load_renderings(self, config):
         raise NotImplementedError
 
     @property
     def cameras(self):
-        return (self.pixtocams, self.camtoworlds, None, None)
+        return (self.pixtocams, self.camtoworlds, self.distortion_params, None)
+
+    def get_train_cameras(self, config):
+        return self.cameras
+
+    def get_train_virtual_cameras(self, config):
+        return (self.pixtocams, self.virtual_camtoworlds, self.distortion_params, None)
 
     # --- batching ---------------------------------------------------------
 
-    def _make_pixels(self, cam_idx, pix_x, pix_y):
+    def _make_pixels(self, cam_idx, pix_x, pix_y, lossmult=None, light_idx=None):
         n = pix_x.shape[0]
-        light_idx = (
-            self.light_idx[cam_idx, pix_y, pix_x]
-            if self.light_idx is not None
-            else np.zeros((n, 1), np.int32)
-        )
+        if light_idx is None:
+            light_idx = (
+                self.light_idx[cam_idx, pix_y, pix_x]
+                if self.light_idx is not None
+                else np.zeros((n, 1), np.int32)
+            )
         return pytrees.Pixels(
             pix_x_int=pix_x,
             pix_y_int=pix_y,
-            lossmult=np.ones((n, 1), np.float32),
+            lossmult=(
+                np.ones((n, 1), np.float32)
+                if lossmult is None
+                else lossmult.reshape(n, 1).astype(np.float32)
+            ),
             near=np.full((n, 1), self.near, np.float32),
             far=np.full((n, 1), self.far, np.float32),
-            cam_idx=cam_idx[..., None].astype(np.int32),
-            light_idx=light_idx.reshape(n, 1).astype(np.int32),
+            cam_idx=cam_idx.reshape(n, 1).astype(np.int32),
+            light_idx=np.asarray(light_idx).reshape(n, 1).astype(np.int32),
         )
 
-    def _gather_batch(self, cam_idx, pix_x, pix_y):
-        pixels = self._make_pixels(cam_idx, pix_x, pix_y)
+    def _cast(self, pixels):
+        if self.config.cast_rays_in_train_step:
+            return pixels
+        return camera_utils.cast_ray_batch(
+            self.cameras, self.lights, pixels, xnp=np,
+            impulse_response=self.impulse_response,
+            virtual_cameras=(
+                None
+                if self.virtual_camtoworlds is self.camtoworlds
+                else (self.pixtocams, self.virtual_camtoworlds)
+            ),
+        )
+
+    def _gather_batch(self, cam_idx, pix_x, pix_y, lossmult=None):
+        pixels = self._make_pixels(cam_idx, pix_x, pix_y, lossmult=lossmult)
         rgb = self.images[cam_idx, pix_y, pix_x]
         masks = self.masks[cam_idx, pix_y, pix_x] if self.masks is not None else None
         normals = (
-            self.normal_images[cam_idx, pix_y, pix_x] if self.normal_images is not None else None
+            self.normal_images[cam_idx, pix_y, pix_x]
+            if self.normal_images is not None
+            else None
         )
         albedos = (
-            self.albedo_images[cam_idx, pix_y, pix_x] if self.albedo_images is not None else None
+            self.albedo_images[cam_idx, pix_y, pix_x]
+            if self.albedo_images is not None
+            else None
         )
         alphas = self.alphas[cam_idx, pix_y, pix_x] if self.alphas is not None else None
-        if self.config.cast_rays_in_train_step:
-            rays = pixels
-        else:
-            rays = camera_utils.cast_ray_batch(self.cameras, self.lights, pixels, xnp=np)
         return pytrees.Batch(
-            rays=rays, rgb=rgb, masks=masks, normals=normals, albedos=albedos, alphas=alphas
+            rays=self._cast(pixels), rgb=rgb, masks=masks, normals=normals,
+            albedos=albedos, alphas=alphas,
         )
 
     def next_train(self):
         """Random pixels across all train images."""
         n = self._batch_size
+        if self._flattened:
+            inds = self._np_rng.randint(0, self.images_flattened.shape[0], (n,))
+            indices = self.indices_flattened[inds]
+            cam_idx, pix_x, pix_y = indices[:, 0], indices[:, 1], indices[:, 2]
+            pixels = self._make_pixels(
+                cam_idx, pix_x, pix_y,
+                light_idx=self.light_idx_flattened[inds]
+                if self.light_idx_flattened is not None
+                else None,
+            )
+            rgb = self.images_flattened[inds]
+            masks = (
+                self.masks[cam_idx, pix_y, pix_x] if self.masks is not None else None
+            )
+            return pytrees.Batch(rays=self._cast(pixels), rgb=rgb, masks=masks)
         cam_idx = self._np_rng.randint(0, self.num_images, (n,))
         pix_x = self._np_rng.randint(0, self.width, (n,))
         pix_y = self._np_rng.randint(0, self.height, (n,))
@@ -126,9 +412,7 @@ class Dataset:
 
     def generate_ray_batch(self, cam_idx: int):
         """All pixels of one image, for eval rendering."""
-        pix_x, pix_y = np.meshgrid(
-            np.arange(self.width), np.arange(self.height), indexing="xy"
-        )
+        pix_x, pix_y = camera_utils.pixel_coordinates(self.width, self.height)
         pix_x = pix_x.reshape(-1)
         pix_y = pix_y.reshape(-1)
         cam = np.full_like(pix_x, cam_idx)
@@ -167,21 +451,7 @@ class RayBatcher(threading.Thread):
             pass
 
 
-# --- Loaders ------------------------------------------------------------------
-
-
-def load_ngp_posedata(data_dir, json_name):
-    """Parse an instant-ngp/nerf-synthetic transforms JSON."""
-    with open(os.path.join(data_dir, json_name)) as f:
-        meta = json.load(f)
-    frames = meta["frames"]
-    names = []
-    camtoworlds = []
-    for frame in frames:
-        names.append(frame["file_path"])
-        camtoworlds.append(np.array(frame["transform_matrix"], np.float32)[:3, :4])
-    camtoworlds = np.stack(camtoworlds)
-    return meta, names, camtoworlds
+# --- blender family -----------------------------------------------------------------
 
 
 class Blender(Dataset):
@@ -189,22 +459,17 @@ class Blender(Dataset):
 
     def _load_renderings(self, config):
         split_name = "train" if self.split == "train" else "test"
-        meta, names, camtoworlds = load_ngp_posedata(
-            self.data_dir, f"transforms_{split_name}.json"
+        _, camtoworlds, pixtocams, distortions, camtype, nameprefixes = (
+            load_ngp_posedata(config, self.data_dir, f"transforms_{split_name}.json")
         )
 
-        from PIL import Image
-
         images = []
-        for name in names:
-            path = os.path.join(self.data_dir, name)
-            if not os.path.splitext(path)[1]:
-                path = path + ".png"
-            with open(path, "rb") as f:
-                img = np.array(Image.open(f), dtype=np.float32) / 255.0
-            if config.factor > 1:
-                img = img[:: config.factor, :: config.factor]
-            images.append(img)
+        for prefix in nameprefixes:
+            image, _, _, _, _ = io_lib.get_imgs(
+                self.data_dir, max(config.factor, 1), self._use_tiffs,
+                self._use_exrs, False, False, False, False, prefix,
+            )
+            images.append(image)
         images = np.stack(images)
 
         if images.shape[-1] == 4:
@@ -215,19 +480,896 @@ class Blender(Dataset):
             self.masks = self.alphas[..., None]
 
         rgb = images[..., :3]
-        if not config.linear_to_srgb:
+        if not config.linear_to_srgb and not self._use_exrs:
             rgb = np.clip(image_ops.srgb_to_linear(rgb), 0.0, np.inf)
         # White background compositing.
         self.images = (rgb * self.masks + (1.0 - self.masks)).astype(np.float32)
 
-        h, w = self.images.shape[1:3]
-        if "camera_angle_x" in meta:
-            focal = 0.5 * w / np.tan(0.5 * float(meta["camera_angle_x"]))
+        self.camtoworlds = camtoworlds[:, :3, :4]
+        self.pixtocams = (
+            pixtocams if pixtocams is not None else None
+        )
+        if self.pixtocams is None:
+            raise ValueError("transforms.json must carry intrinsics")
+        self.distortion_params = distortions
+        self.camtype = camtype
+        self.lights = self.camtoworlds[:, :3, -1]
+
+
+class BlenderActive(Dataset):
+    """Blender scenes with active (flash) lighting + aux GT buffers
+    (datasets.py:1351-1424)."""
+
+    def _load_renderings(self, config):
+        split_name = "train" if self.split == "train" else "test"
+        _, camtoworlds, pixtocams, distortions, camtype, nameprefixes = (
+            load_ngp_posedata(config, self.data_dir, f"transforms_{split_name}.json")
+        )
+
+        all_imgs = [
+            io_lib.get_imgs(
+                self.data_dir, max(config.factor, 1), self._use_tiffs,
+                self._use_exrs, self._load_disps, self._load_normals, False,
+                self._load_albedos, p,
+            )
+            for p in nameprefixes
+        ]
+        images, disp_images, normal_images, _, albedo_images = zip(*all_imgs)
+
+        self.images = np.stack(images, axis=0).astype(np.float32)
+        self.alphas = np.copy(self.images[..., -1])
+        if not config.linear_to_srgb and not self._use_exrs:
+            self.images = np.clip(
+                image_ops.srgb_to_linear(self.images), 0.0, np.inf
+            )
+        self.masks = self.alphas[..., None]
+        self.images = self.images[..., :3] * self.masks + (1.0 - self.masks)
+
+        if self._load_albedos:
+            self.albedo_images = np.stack(albedo_images, axis=0)[..., :3]
+            self.albedo_images = (
+                self.albedo_images * self.masks + (1.0 - self.masks)
+            )
+        if self._load_disps:
+            self.disp_images = np.stack(disp_images, axis=0)
+        if self._load_normals:
+            self.normal_images = np.stack(normal_images, axis=0)[..., :3]
+            self.normal_images = (
+                self.normal_images * self.masks + (1.0 - self.masks)
+            )
+
+        self.camtoworlds = camtoworlds[:, :3, :4]
+        self.pixtocams = pixtocams
+        self.distortion_params = distortions
+        self.camtype = camtype
+
+
+# --- transient family ----------------------------------------------------------------
+
+
+class TransientSimulation(Dataset):
+    """Simulated time-resolved captures: h5 sample streams for training,
+    whole-frame h5 volumes for eval (datasets.py:1426-1641)."""
+
+    def _load_renderings(self, config):
+        self.height = config.height if self.split == "train" else (
+            config.height if config.vis_only else config.test_height
+        )
+        self.width = config.width if self.split == "train" else (
+            config.width if config.vis_only else config.test_width
+        )
+
+        if config.eval_path and self.split == "test":
+            pose_file = "transforms_path2.json"
+        elif config.eval_train:
+            pose_file = "transforms_train.json"
         else:
-            focal = float(meta["fl_x"])
-        self.pixtocams = camera_utils.get_pixtocam(focal, w, h)[None].astype(np.float32)
+            pose_file = f"transforms_{self.split}.json"
+        _, camtoworlds, pixtocams, distortions, camtype, nameprefixes = (
+            load_ngp_posedata(config, self.data_dir, pose_file)
+        )
+        self._pose_file = pose_file
+        self._nameprefixes = nameprefixes
+
+        if self.split == "train":
+            import h5py
+
+            eff = os.path.join(self.data_dir, "train_efficient")
+            self.x_array = h5py.File(os.path.join(eff, "x.h5"), "r")
+            self.y_array = h5py.File(os.path.join(eff, "y.h5"), "r")
+            self.samples_array = h5py.File(os.path.join(eff, "samples.h5"), "r")
+            self.file_indices_array = h5py.File(
+                os.path.join(eff, "file_indices.h5"), "r"
+            )
+
+        self.camtoworlds = camtoworlds[:, :3, :4]
+        self.pixtocams = pixtocams
+        self.distortion_params = distortions
+        self.camtype = camtype
+        self.lights = self.camtoworlds[..., :3, -1]
+
+        if config.fixed_light and config.light_transforms:
+            light_transform = np.array(
+                config.light_transforms[config.light_transform_idx], np.float32
+            )
+            self.lights = np.tile(
+                light_transform[:3, -1][None], (self.lights.shape[0], 1)
+            )
+            self.virtual_camtoworlds = np.tile(
+                light_transform[None, :3, :4], (self.camtoworlds.shape[0], 1, 1)
+            )
+        if config.fixed_camera:
+            self.camtoworlds = np.tile(
+                self.camtoworlds[config.viz_index][None],
+                (self.camtoworlds.shape[0], 1, 1),
+            )[: self.lights.shape[0]]
+
+        if config.impulse_response:
+            ir = np.load(config.impulse_response)
+            ir = ir[
+                config.impulse_response_start_bin :
+                config.impulse_response_start_bin + config.n_impulse_response_bins
+            ]
+            self.impulse_response = ir[::-1].copy()
+
+        # Placeholder image stack so base bookkeeping has shapes; eval frames
+        # stream from h5 in generate_ray_batch.
+        self.images = np.zeros(
+            (camtoworlds.shape[0], self.height, self.width, 3), np.float32
+        )
+
+    def _make_transient_batch(self, pix_x, pix_y, cam_idx, rgb, lossmult=None):
+        rgb = np.clip(
+            rgb[..., :3] / self.config.dataset_scale, 0.0, self.config.rgb_max
+        )
+        mask = (
+            np.linalg.norm(rgb, axis=-1, keepdims=True).sum(axis=-2) > 0
+        ).astype(np.float32)
+        pixels = self._make_pixels(
+            cam_idx, pix_x, pix_y, lossmult=lossmult,
+            light_idx=cam_idx.astype(np.int32),
+        )
+        return pytrees.Batch(
+            rays=self._cast(pixels), rgb=rgb, masks=mask, alphas=mask,
+            impulse_response=self.impulse_response,
+        )
+
+    def next_train(self):
+        n = self._batch_size
+        cfg = self.config
+        max_start = self.file_indices_array["dataset"].shape[0] - n
+        start = self._np_rng.randint(0, max_start)
+        sl = slice(start, start + n)
+        cam_idx = np.array(self.file_indices_array["dataset"][sl]).astype(np.int32)
+        pix_x = np.array(self.x_array["dataset"][sl]).astype(np.int32)
+        pix_y = np.array(self.y_array["dataset"][sl]).astype(np.int32)
+        rgb = np.array(
+            self.samples_array["dataset"][sl, cfg.start_bin : cfg.start_bin + cfg.n_bins]
+        ).astype(np.float32)
+        return self._make_transient_batch(pix_x, pix_y, cam_idx, rgb)
+
+    def generate_ray_batch(self, cam_idx: int):
+        import h5py
+
+        cfg = self.config
+        with open(os.path.join(self.data_dir, self._pose_file)) as f:
+            data = json.load(f)
+        file_path = data["frames"][cam_idx]["file_path"]
+
+        if not cfg.eval_path:
+            with h5py.File(os.path.join(self.data_dir, file_path), "r") as h5_file:
+                rgb = np.array(
+                    h5_file["data"][
+                        :, :, cfg.test_start_bin : cfg.test_start_bin + cfg.n_bins
+                    ]
+                ).astype(np.float32)
+        else:
+            rgb = np.zeros((self.height, self.width, cfg.n_bins, 1), np.float32)
+        if rgb.ndim == 3:
+            rgb = rgb[..., None]
+
+        # Stored frames are full resolution (512 in the reference captures);
+        # decimate down to the configured eval height.
+        ratio = int(np.log2(max(1, rgb.shape[0] // self.height)))
+        if ratio > 0 and not cfg.eval_path:
+            for _ in range(ratio):
+                rgb = rgb[::2, ::2, : cfg.n_bins]
+
+        pix_x, pix_y = camera_utils.pixel_coordinates(rgb.shape[1], rgb.shape[0])
+        cam = np.full_like(pix_x.reshape(-1), cam_idx)
+        return self._make_transient_batch(
+            pix_x.reshape(-1), pix_y.reshape(-1), cam,
+            rgb.reshape(-1, rgb.shape[-2], rgb.shape[-1]),
+        )
+
+
+class FWPTransientCaptured(TransientSimulation):
+    """Captured transients (FWP rig): per-frame intrinsics, dark level,
+    excluded frames (datasets.py:1701-1912)."""
+
+    def _load_renderings(self, config):
+        self.height = config.height if self.split == "train" else (
+            config.height if config.vis_only else config.test_height
+        )
+        self.width = config.width if self.split == "train" else (
+            config.width if config.vis_only else config.test_width
+        )
+        if config.eval_path and self.split == "test":
+            pose_file = "transforms_path2.json"
+        elif config.eval_train:
+            pose_file = "transforms_all.json"
+        else:
+            pose_file = f"transforms_{self.split}.json"
+        _, camtoworlds, pixtocams, distortions, camtype, nameprefixes = (
+            load_fwp_posedata(config, self.data_dir, pose_file,
+                              frame_step=2 if (config.eval_path and self.split == "test") else 1)
+        )
+        self._pose_file = pose_file
+        self._nameprefixes = nameprefixes
+
+        if self.split == "train":
+            import h5py
+
+            eff = os.path.join(self.data_dir, "train_efficient")
+            self.x_array = h5py.File(os.path.join(eff, "x.h5"), "r")
+            self.y_array = h5py.File(os.path.join(eff, "y.h5"), "r")
+            self.samples_array = h5py.File(os.path.join(eff, "samples.h5"), "r")
+            self.file_indices_array = h5py.File(
+                os.path.join(eff, "file_indices.h5"), "r"
+            )
+
+        self.camtoworlds = camtoworlds[:, :3, :4]
+        self.pixtocams = pixtocams
+        self.distortion_params = distortions
+        self.camtype = camtype
+
+        lights = np.tile(
+            np.array(config.light_source_position or [0.0, 0.0, 0.0], np.float32),
+            (self.camtoworlds.shape[0], 1),
+        )
+        if config.light_static_wrt_camera:
+            hom = np.concatenate([lights, np.ones_like(lights[:, :1])], axis=1)
+            lights = np.einsum("nij,nj->ni", camtoworlds[:, :3, :4], hom)
+        self.lights = lights
+
+        if config.impulse_response:
+            ir = np.load(config.impulse_response)
+            ir = ir[
+                config.impulse_response_start_bin :
+                config.impulse_response_start_bin + config.n_impulse_response_bins
+            ]
+            self.impulse_response = ir[::-1].copy()
+
+        self.train_exclude_indices = np.array(
+            [
+                i for i, name in enumerate(nameprefixes)
+                if any(prefix in name for prefix in config.train_exclude_prefixes)
+            ],
+            np.int32,
+        )
+        self.images = np.zeros(
+            (camtoworlds.shape[0], self.height, self.width, 3), np.float32
+        )
+
+    def _make_transient_batch(self, pix_x, pix_y, cam_idx, rgb, lossmult=None):
+        cfg = self.config
+        scaled = rgb[..., :3] / cfg.dataset_scale
+        clipped = np.clip(scaled - cfg.dark_level, 0.0, cfg.rgb_max)
+        mask = (
+            np.linalg.norm(scaled, axis=-1, keepdims=True).sum(axis=-2)
+            >= cfg.mask_threshold
+        ).astype(np.float32)
+        pixels = self._make_pixels(
+            cam_idx, pix_x, pix_y, lossmult=lossmult,
+            light_idx=cam_idx.astype(np.int32),
+        )
+        return pytrees.Batch(
+            rays=self._cast(pixels), rgb=clipped, masks=mask, alphas=mask,
+            impulse_response=self.impulse_response,
+        )
+
+    def next_train(self):
+        n = self._batch_size
+        cfg = self.config
+        max_start = self.file_indices_array["dataset"].shape[0] - n
+        start = self._np_rng.randint(0, max_start)
+        sl = slice(start, start + n)
+        cam_idx = np.array(self.file_indices_array["dataset"][sl]).astype(np.int32)
+        pix_x = np.array(self.x_array["dataset"][sl]).astype(np.int32)
+        pix_y = np.array(self.y_array["dataset"][sl]).astype(np.int32)
+        rgb = np.array(
+            self.samples_array["dataset"][sl, cfg.start_bin : cfg.start_bin + cfg.n_bins]
+        ).astype(np.float32)
+        lossmult = np.all(
+            cam_idx[..., None] != self.train_exclude_indices[None], axis=-1
+        ).astype(np.float32)
+        return self._make_transient_batch(pix_x, pix_y, cam_idx, rgb, lossmult=lossmult)
+
+
+class TransientSimulationIToF(Dataset):
+    """iToF-style transient frames stored as whole images
+    (datasets.py:1643-1698)."""
+
+    def _load_renderings(self, config):
+        split_name = "train" if self.split == "train" else "test"
+        _, camtoworlds, pixtocams, distortions, camtype, nameprefixes = (
+            load_ngp_posedata(config, self.data_dir, f"transforms_{split_name}.json")
+        )
+        images = [
+            io_lib.get_imgs(
+                self.data_dir, max(config.factor, 1), self._use_tiffs,
+                self._use_exrs, False, False, False, False, p,
+            )[0]
+            for p in nameprefixes
+        ]
+        images = np.stack(images, axis=0)
+        self.masks = (images[..., -1].sum(-1) > 0).astype(np.float32)[..., None]
+        self.alphas = self.masks[..., 0]
+        images = images[..., :3]
+        images = np.clip(images * 255 / config.dataset_scale, 0, 1000.0)
+        self.images = images.astype(np.float32)
+
+        self._flattened = True
+        self.images_flattened, self.indices_flattened = flatten_transient_data(
+            [z for z in self.images], n_bins=4
+        )
+        self.camtoworlds = camtoworlds[:, :3, :4]
+        self.pixtocams = pixtocams
+        self.distortion_params = distortions
+        self.camtype = camtype
+        self.lights = self.camtoworlds[..., :3, -1]
+
+
+# --- inverse-rendering captures -------------------------------------------------------
+
+
+class ORB(Dataset):
+    """Object Relighting Benchmark captures (datasets.py:1915-2006)."""
+
+    def _load_renderings(self, config):
+        split_name = "train" if self.split == "train" else "test"
+        _, camtoworlds_train, _, _, _, _ = load_ngp_posedata(
+            config, self.data_dir, "transforms_train.json"
+        )
+        _, camtoworlds, pixtocams, distortions, camtype, nameprefixes = (
+            load_ngp_posedata(config, self.data_dir, f"transforms_{split_name}.json")
+        )
+
+        factor = max(config.factor, 1)
+        pixtocams = pixtocams @ np.diag([factor, factor, 1.0])
+
+        camtoworlds_train = camtoworlds_train[:, :3, :4]
+        camtoworlds = camtoworlds[:, :3, :4]
+        camtoworlds_train, tform = camera_utils.recenter_poses(camtoworlds_train)
+        camtoworlds = camera_utils.unpad_poses(
+            tform @ camera_utils.pad_poses(camtoworlds)
+        )
+        scale_factor = 1.0 / np.max(np.abs(camtoworlds_train[:, :3, 3]))
+        camtoworlds[:, :3, 3] *= scale_factor
+
+        images, mask_images, normal_images = [], [], []
+        for prefix in nameprefixes:
+            image, _, normal_image, mask_image, _ = io_lib.get_imgs(
+                self.data_dir, config.factor, self._use_tiffs, self._use_exrs,
+                False, self._load_normals, True, False, prefix,
+                "train" if self.split == "train" else "test",
+            )
+            images.append(np.clip(image, 0.0, 4.0))
+            mask_images.append(mask_image > 0.5)
+            normal_images.append(normal_image)
+
+        self.images = np.stack(images, axis=0)
+        self.mask_images = np.stack(mask_images, axis=0).astype(np.float32)
+        if self._load_normals:
+            self.normal_images = np.stack(normal_images, axis=0)
+            self.alphas = self.images[..., -1]
+        rgb = self.images[..., :3]
+        alpha = self.mask_images.reshape(rgb.shape[:3] + (-1,))[..., :1]
+        self.images = (rgb * alpha + (1.0 - alpha)).astype(np.float32)
+        self.masks = alpha
+
+        if config.vis_render_path and self.split == "test":
+            num_render = 120
+            camtoworlds = camera_utils.generate_ellipse_path(
+                camtoworlds, n_frames=num_render, lock_up=False,
+                relative_to_first_pose=True, flip_y=True,
+            )
+            self.images = np.repeat(self.images[0:1], num_render, 0)
+            self.masks = np.repeat(self.masks[0:1], num_render, 0)
+
         self.camtoworlds = camtoworlds
-        self.lights = camtoworlds[:, :3, -1]
+        self.pixtocams = pixtocams
+        self.distortion_params = distortions
+        self.camtype = camtype
+        self.lights = self.camtoworlds[..., :3, -1]
+
+
+class OpenIllum(Dataset):
+    """OpenIllumination light-stage captures, multi-illumination + relighting
+    env maps (datasets.py:2015-2187)."""
+
+    ILLUM_MAPS_MULTI = ["013", "011", "009"]
+
+    def _load_renderings(self, config):
+        import cv2
+
+        if self._load_env_map:
+            illum_maps = [config.env_map_name]
+        elif config.vis_only or not self.multi_illum:
+            illum_maps = ["013"]
+        else:
+            illum_maps = list(self.ILLUM_MAPS_MULTI)
+
+        split_name = "train" if self.split == "train" else "test"
+        _, camtoworlds, pixtocams, distortions, camtype, nameprefixes = (
+            load_ngp_posedata(config, self.data_dir, f"transforms_{split_name}.json")
+        )
+        factor = max(
+            config.factor if self.split == "train" else (config.test_factor or config.factor),
+            1,
+        )
+        pixtocams = pixtocams @ np.diag([factor, factor, 1.0])
+        camtoworlds = camtoworlds @ np.diag([1, -1, -1, 1.0])
+        camtoworlds = camtoworlds[:, :3, :4]
+
+        images, mask_images, light_indices = [], [], []
+        for light_idx, illum_map in enumerate(illum_maps):
+            for prefix in nameprefixes:
+                image = io_lib.get_img(
+                    1, ".JPG",
+                    os.path.join(
+                        self.data_dir,
+                        prefix.replace("./images", f"../Lights/{illum_map}/raw_undistorted"),
+                    ),
+                ) / 255.0
+                image = cv2.resize(
+                    image, (image.shape[1] // factor, image.shape[0] // factor),
+                    interpolation=cv2.INTER_LANCZOS4,
+                )
+                image = np.clip(image_ops.srgb_to_linear(image), 0.0, np.inf)
+                images.append(image)
+
+                mask_sub = "./com_masks" if self.split == "train" else "./obj_masks"
+                mask = io_lib.get_img(
+                    1, ".png",
+                    os.path.join(self.data_dir, prefix.replace("./images", mask_sub)),
+                ) / 255.0
+                mask = cv2.resize(
+                    mask, (mask.shape[1] // factor, mask.shape[0] // factor),
+                    interpolation=cv2.INTER_NEAREST,
+                )
+                thresh = 0.5 if self.split == "train" else 0.0
+                mask_images.append(mask[..., None] > thresh)
+                light_indices.append(
+                    np.ones_like(images[-1][..., 0:1], np.int32) * light_idx
+                )
+
+        self.light_idx = np.stack(light_indices, axis=0)
+        self.images = np.stack(images, axis=0)
+        self.mask_images = np.stack(mask_images, axis=0).astype(np.float32)
+        rgb = self.images[..., :3]
+        alpha = self.mask_images[..., :1]
+        self.images = (rgb * alpha + (1.0 - alpha)).astype(np.float32)
+        self.masks = alpha
+
+        if self.multi_illum:
+            camtoworlds = np.concatenate([camtoworlds] * len(illum_maps), axis=0)
+            pixtocams = np.concatenate([pixtocams] * len(illum_maps), axis=0)
+
+        if self.multi_illum or self._load_env_map:
+            tables = [
+                env_maps.load_env_map(
+                    os.path.join(self.data_dir, f"../../../env_maps/hdrs/{name}.hdr"),
+                    scale=2.5,
+                )
+                for name in illum_maps
+            ]
+            self.env_map = np.concatenate([t["env_map"] for t in tables], axis=-2)
+            self.env_map_pmf = np.concatenate(
+                [t["env_map_pmf"] for t in tables], axis=-1
+            )
+            self.env_map_pdf = np.concatenate(
+                [t["env_map_pdf"] for t in tables], axis=-1
+            )
+            self.env_map_dirs = np.concatenate(
+                [t["env_map_dirs"] for t in tables], axis=-2
+            )
+            self.env_map_h = tables[0]["env_map_h"]
+            self.env_map_w = tables[0]["env_map_w"]
+
+        self.camtoworlds = camtoworlds
+        self.pixtocams = pixtocams
+        self.distortion_params = distortions
+        self.camtype = camtype
+        self.lights = self.camtoworlds[..., :3, -1]
+
+
+class Neilf(Dataset):
+    """NeILF++ sfm_scene captures (datasets.py:2253-2348)."""
+
+    VALIDATION_INDEXES = [9, 18, 30, 41, 50, 62, 73, 82, 94]
+
+    def _load_renderings(self, config):
+        with open(os.path.join(self.data_dir, "sfm_scene.json")) as f:
+            sfm_scene = json.load(f)
+
+        intrinsics, extrinsics = {}, {}
+        for index, info in sfm_scene["camera_track_map"]["images"].items():
+            if info["flg"] == 2:
+                k = np.zeros((4, 4))
+                k[0, 0], k[1, 1] = info["camera"]["intrinsic"]["focal"]
+                k[0, 2], k[1, 2] = info["camera"]["intrinsic"]["ppt"]
+                k[2, 2] = k[3, 3] = 1
+                intrinsics[index] = k
+                extrinsics[index] = np.array(info["camera"]["extrinsic"]).reshape(4, 4)
+
+        image_list = sfm_scene["image_path"]["file_paths"]
+        image_indexes = [str(k) for k in sorted(int(k) for k in image_list)]
+        num_images = len(image_indexes)
+        validation = {v % num_images for v in self.VALIDATION_INDEXES}
+        selected = [
+            idx for i, idx in enumerate(image_indexes)
+            if (i in validation) == (self.split != "train")
+        ]
+
+        images, camtoworlds, pixtocams = [], [], []
+        for image_index in selected:
+            pose = np.linalg.inv(extrinsics[image_index])[:3, :4] @ np.diag(
+                [1.0, -1.0, -1.0, 1.0]
+            )
+            camtoworlds.append(pose)
+            pixtocams.append(np.linalg.inv(intrinsics[image_index][:3, :3]))
+            prefix = os.path.split(os.path.splitext(image_list[image_index])[0])[1]
+            fprefix = os.path.join(self.data_dir, "images", prefix)
+            for ext in (".png", ".jpg", ".tiff", ".exr"):
+                if os.path.exists(fprefix + ext):
+                    img = io_lib.get_img(max(config.factor, 1), ext, fprefix)
+                    if ext != ".exr":
+                        img = img / 255.0
+                    break
+            else:
+                raise FileNotFoundError(fprefix)
+            images.append(img[..., :3] * 0.25)
+
+        camtoworlds = np.stack(camtoworlds, axis=0)
+        pixtocams = np.stack(pixtocams, axis=0)
+        scale_factor = 1.0 / np.max(np.abs(camtoworlds[:, :3, 3]))
+        camtoworlds[:, :3, 3] *= scale_factor
+        permute = np.array([[1.0, 0, 0], [0, 0, 1], [0, 1, 0]])
+        camtoworlds = permute @ camtoworlds
+
+        self.images = np.stack(images, axis=0).astype(np.float32)
+        self.camtoworlds = camtoworlds.astype(np.float32)
+        self.pixtocams = pixtocams.astype(np.float32)
+
+
+class Real(Dataset):
+    """Real captures with NGP-format poses recentered by the train split
+    (datasets.py:2351-2449)."""
+
+    def _load_renderings(self, config):
+        split_name = "train" if self.split == "train" else "test"
+        _, camtoworlds_train, _, _, _, _ = load_ngp_posedata(
+            config, self.data_dir, "transforms_train.json"
+        )
+        _, camtoworlds, pixtocams, distortions, camtype, nameprefixes = (
+            load_ngp_posedata(config, self.data_dir, f"transforms_{split_name}.json")
+        )
+        factor = max(config.factor, 1)
+        pixtocams = pixtocams @ np.diag([factor, factor, 1.0])
+
+        camtoworlds_train = camtoworlds_train[:, :3, :4]
+        camtoworlds = camtoworlds[:, :3, :4]
+        camtoworlds_train, tform = camera_utils.recenter_poses(camtoworlds_train)
+        camtoworlds = camera_utils.unpad_poses(
+            tform @ camera_utils.pad_poses(camtoworlds)
+        )
+        scale_factor = 1.0 / np.max(np.abs(camtoworlds_train[:, :3, 3]))
+        camtoworlds[:, :3, 3] *= scale_factor
+
+        images = []
+        for prefix in nameprefixes:
+            image, _, _, _, _ = io_lib.get_imgs(
+                self.data_dir, config.factor, self._use_tiffs, self._use_exrs,
+                False, False, False, False, prefix,
+            )
+            images.append(image)
+        self.images = np.stack(images, axis=0).astype(np.float32)
+        if not self._use_exrs and not config.linear_to_srgb:
+            self.images = np.clip(
+                image_ops.srgb_to_linear(self.images), 0.0, np.inf
+            )
+        self.images = self.images[..., :3]
+
+        self.camtoworlds = camtoworlds
+        self.pixtocams = pixtocams
+        self.distortion_params = distortions
+        self.camtype = camtype
+
+
+class GlossySynthetic(Dataset):
+    """NeRO glossy synthetic: pickled cameras, depth-derived masks
+    (datasets.py:2749-2927)."""
+
+    def _load_renderings(self, config):
+        import glob
+        import pickle
+
+        from PIL import Image
+
+        with open(os.path.join(self.data_dir, "../synthetic_split_128.pkl"), "rb") as f:
+            test_ids, train_ids = pickle.load(f)
+        scene = self.data_dir.split("/")[-1]
+
+        if self._load_env_map:
+            data_dir = os.path.join(
+                self.data_dir, f"../relight_gt/{scene}_{config.env_map_name}"
+            )
+            im_num = len(glob.glob(f"{data_dir}/*.pkl"))
+            im_ids = [str(k) for k in range(im_num)]
+        elif self.split == "train":
+            data_dir = self.data_dir
+            im_num = len(glob.glob(f"{self.data_dir}/*.pkl"))
+            im_ids = [str(k) for k in range(im_num)]
+        else:
+            data_dir = self.data_dir
+            im_ids = sorted(test_ids)
+
+        images, mask_images, depth_images, camtoworlds, pixtocams = [], [], [], [], []
+        for im_id in im_ids:
+            with open(os.path.join(data_dir, im_id + "-camera.pkl"), "rb") as f:
+                cam_data = pickle.load(f)
+            pose = np.eye(4)
+            pose[:3, :4] = cam_data[0]
+            camtoworlds.append(np.linalg.inv(pose))
+            pixtocams.append(cam_data[1])
+
+            with open(os.path.join(data_dir, im_id + ".png"), "rb") as f:
+                image = np.array(Image.open(f)) / 255.0
+            image = np.clip(image_ops.srgb_to_linear(image), 0.0, np.inf)
+            images.append(image)
+
+            depth_file = os.path.join(data_dir, im_id + "-depth.png")
+            if os.path.exists(depth_file):
+                depth = io_lib.load_img(depth_file).astype(np.float32) / 65535 * 15
+                if depth.ndim == 3:
+                    depth = depth[..., 0]
+                mask = (depth < 14.5).astype(np.float32)
+            else:
+                mask = image[..., 3]
+                depth = np.zeros_like(mask)
+            depth_images.append(depth[..., None])
+            mask_images.append(mask[..., None])
+
+        camtoworlds = np.array(camtoworlds)
+        pixtocams = np.linalg.inv(np.array(pixtocams))
+        camtoworlds = (camtoworlds @ np.diag([1, -1, -1, 1.0]))[:, :3, :4]
+
+        self.images = np.stack(images, axis=0).astype(np.float32)
+        self.mask_images = np.stack(mask_images, axis=0).astype(np.float32)
+        self.depth_images = np.stack(depth_images, axis=0)
+        self.alphas = np.copy(self.mask_images[..., 0])
+        rgb, alpha = self.images[..., :3], self.mask_images
+        self.images = (rgb * alpha + (1.0 - alpha)).astype(np.float32)
+        self.masks = alpha
+
+        self._flattened = True
+        self.images_flattened, self.indices_flattened = flatten_data(
+            [z for z in self.images]
+        )
+        self.light_idx_flattened = np.zeros(
+            (self.images_flattened.shape[0], 1), np.int32
+        )
+
+        if self._load_env_map:
+            tables = env_maps.load_env_map(
+                os.path.join(self.data_dir, f"../relight_gt/{config.env_map_name}.exr"),
+                downsample=4, y_up=True, flip=True,
+            )
+            for k, v in tables.items():
+                setattr(self, k, v)
+
+        self.camtoworlds = camtoworlds
+        self.pixtocams = pixtocams.astype(np.float32)
+        self.lights = self.camtoworlds[..., :3, -1]
+
+
+class GlossyReal(Dataset):
+    """NeRO glossy real captures: cache.pkl poses normalized by the object
+    point cloud (datasets.py:2620-2747)."""
+
+    META_INFO = {
+        "bear": {"forward": [0.539944, -0.342791, 0.341446],
+                 "up": [0.0512875, -0.645326, -0.762183]},
+        "coral": {"forward": [0.004226, -0.235523, 0.267582],
+                  "up": [0.0477973, -0.748313, -0.661622]},
+        "maneki": {"forward": [-2.336584, -0.406351, 0.482029],
+                   "up": [-0.0117387, -0.738751, -0.673876]},
+        "bunny": {"forward": [0.437076, -1.672467, 1.436961],
+                  "up": [-0.0693234, -0.644819, -0.761185]},
+        "vase": {"forward": [-0.911907, -0.132777, 0.180063],
+                 "up": [-0.01911, -0.738918, -0.673524]},
+    }
+
+    def _load_point_cloud(self, pcl_path):
+        # Minimal ASCII/binary PLY vertex reader (plyfile not available).
+        with open(pcl_path, "rb") as f:
+            header = []
+            while True:
+                line = f.readline().decode("ascii", "ignore").strip()
+                header.append(line)
+                if line == "end_header":
+                    break
+            n_verts = 0
+            props = []
+            fmt = "ascii"
+            for line in header:
+                if line.startswith("format"):
+                    fmt = line.split()[1]
+                if line.startswith("element vertex"):
+                    n_verts = int(line.split()[-1])
+                if line.startswith("property") and n_verts:
+                    props.append(line.split()[-1])
+            if fmt == "ascii":
+                data = np.loadtxt(f, max_rows=n_verts)
+            else:
+                dt = np.dtype(
+                    [(p, "<f4" if "float" in "float" else "<f4") for p in props]
+                )
+                data = np.frombuffer(f.read(n_verts * dt.itemsize), dtype=dt)
+                data = np.stack([data[p] for p in props], axis=1)
+        ix, iy, iz = props.index("x"), props.index("y"), props.index("z")
+        return np.stack([data[:, ix], data[:, iy], data[:, iz]], axis=1).astype(float)
+
+    def _compute_rotation(self, vert, forward):
+        y = np.cross(vert, forward)
+        x = np.cross(y, vert)
+        vert = vert / np.linalg.norm(vert)
+        x = x / np.linalg.norm(x)
+        y = y / np.linalg.norm(y)
+        return np.stack([x, y, vert], 0)
+
+    def _normalize(self, poses):
+        ref_points = self._load_point_cloud(
+            os.path.join(self.data_dir, "object_point_cloud.ply")
+        )
+        max_pt, min_pt = np.max(ref_points, 0), np.min(ref_points, 0)
+        center = (max_pt + min_pt) * 0.5
+        offset = -center
+        scale = 1 / np.max(np.linalg.norm(ref_points - center[None], 2, 1))
+        meta = self.META_INFO[self.object_name]
+        up = np.asarray(meta["up"], np.float32)
+        forward = np.asarray(meta["forward"], np.float32)
+        up, forward = up / np.linalg.norm(up), forward / np.linalg.norm(forward)
+        r_rec = self._compute_rotation(up, forward)
+        for img_id, pose in poses.items():
+            rot, t = pose[:, :3], pose[:, 3]
+            poses[img_id] = np.concatenate(
+                [rot @ r_rec.T, ((t - rot @ offset) * scale)[:, None]], -1
+            )
+        return poses
+
+    def _load_renderings(self, config):
+        import pickle
+
+        self.object_name = self.data_dir.rstrip("/").split("/")[-1]
+        with open(os.path.join(self.data_dir, "cache.pkl"), "rb") as f:
+            poses_dict, ks_dict, names_dict, _ = pickle.load(f)
+        poses_dict = self._normalize(poses_dict)
+        probe = io_lib.load_img(
+            os.path.join(self.data_dir, "images", names_dict[1])
+        )
+        h, w = probe.shape[:2]
+
+        camtoworlds, pixtocams, nameprefixes = [], [], []
+        for key in names_dict:
+            pose = np.eye(4)
+            pose[:3, :4] = np.array(poses_dict[key])
+            pose = np.linalg.inv(pose)
+            k = ks_dict[key]
+            ratio = 1024.0 / max(h, w)
+            th, tw = int(ratio * h), int(ratio * w)
+            k = np.diag([tw / w, th / h, 1.0]) @ k
+            camtoworlds.append(pose[:3, :4])
+            pixtocams.append(k)
+            nameprefixes.append(os.path.join("images_raw_1024", names_dict[key]))
+
+        camtoworlds = np.array(camtoworlds)
+        pixtocams = np.linalg.inv(np.array(pixtocams))
+        camtoworlds = camtoworlds @ np.diag([1, -1, -1, 1.0])
+        camtoworlds, _ = camera_utils.transform_poses_pca(camtoworlds[:, :3, :4])
+
+        images = []
+        for prefix in nameprefixes:
+            image, _, _, _, _ = io_lib.get_imgs(
+                self.data_dir, config.factor, False, False, False, False,
+                False, False, prefix,
+            )
+            if self._use_exrs:
+                image = np.clip(image_ops.srgb_to_linear(image), 0.0, np.inf)
+            images.append(image)
+        self.images = np.stack(images, axis=0)[..., :3].astype(np.float32)
+
+        self.camtoworlds = camtoworlds.astype(np.float32)
+        self.pixtocams = pixtocams.astype(np.float32)
+
+
+class LLFF(Dataset):
+    """Forward-facing / real-world scenes with poses from poses_bounds.npy or
+    NGP JSONs (datasets.py:2929-3294; COLMAP-binary parsing not needed for
+    those two paths)."""
+
+    def _load_renderings(self, config):
+        image_subdir = config.image_subdir or "images"
+        factor = 1 if config.factor == 0 else config.factor
+        image_dir_suffix = "" if factor == 1 else f"_{config.factor}"
+        colmap_image_dir = os.path.join(self.data_dir, image_subdir)
+
+        bounds = None
+        if config.llff_load_from_poses_bounds:
+            image_names = sorted(os.listdir(colmap_image_dir))
+            poses, pixtocams, distortions, camtype, bounds = load_llff_posedata(
+                self.data_dir
+            )
+        elif config.load_ngp_format_poses:
+            image_names, poses, pixtocams, distortions, camtype, _ = (
+                load_ngp_posedata(config, self.data_dir)
+            )
+            poses = poses[:, :3, :4]
+        else:
+            raise NotImplementedError(
+                "LLFF requires llff_load_from_poses_bounds or "
+                "load_ngp_format_poses (COLMAP binary parsing TBD)"
+            )
+
+        if config.load_alphabetical:
+            inds = np.argsort(image_names)
+            image_names = [image_names[i] for i in inds]
+            poses, pixtocams, distortions = camera_utils.gather_cameras(
+                (poses, pixtocams, distortions), inds
+            )
+
+        pixtocams = (pixtocams @ np.diag([factor, factor, 1.0])).astype(np.float32)
+        self.camtype = camtype
+
+        image_dir = os.path.join(self.data_dir, image_subdir + image_dir_suffix)
+        files = sorted(os.listdir(image_dir))
+        images = np.stack(
+            [io_lib.load_img(os.path.join(image_dir, f)) / 255.0 for f in files]
+        )
+        if not config.linear_to_srgb:
+            images = np.clip(image_ops.srgb_to_linear(images), 0.0, np.inf)
+
+        if config.forward_facing and bounds is not None:
+            # NDC-style rescale: shift near plane to 1 (mip-NeRF 360 recipe).
+            scale = 1.0 / (bounds.min() * 0.75)
+            poses[:, :3, 3] *= scale
+            bounds = bounds * scale
+        else:
+            poses, _ = camera_utils.transform_poses_pca(poses)
+
+        # Train/test split by llffhold.
+        all_indices = np.arange(images.shape[0])
+        if config.llffhold > 0:
+            test_indices = all_indices[:: config.llffhold]
+        else:
+            test_indices = all_indices[:0]
+        split_indices = {
+            "test": test_indices,
+            "train": np.array([i for i in all_indices if i not in test_indices]),
+        }
+        indices = split_indices["train" if self.split == "train" else "test"]
+
+        self.images = images[indices][..., :3].astype(np.float32)
+        self.camtoworlds = poses[indices].astype(np.float32)
+        if pixtocams.ndim == 3 and pixtocams.shape[0] > 1:
+            self.pixtocams = pixtocams[indices]
+        else:
+            self.pixtocams = pixtocams
+        self.distortion_params = distortions
+
+
+# --- procedural test scene -------------------------------------------------------------
 
 
 class SyntheticSpheres(Dataset):

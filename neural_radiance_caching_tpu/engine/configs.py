@@ -76,6 +76,30 @@ class Config:
     llff_use_all_images_for_training: bool = False
     use_tiffs: bool = False
     use_exrs: bool = False
+    load_disps: bool = False
+    load_normals: bool = False
+    load_albedos: bool = False
+    # Image dims for loaders whose JSON poses don't carry them (transient h5).
+    height: int = 512
+    width: int = 512
+    test_height: int = 128
+    test_width: int = 128
+    test_start_bin: int = 0
+    rgb_max: float = float("inf")
+    mask_threshold: float = 0.0
+    light_transforms: Optional[List[Any]] = None
+    sl_paths: Optional[List[str]] = None
+    viz_index: int = 0
+    viz_name: Optional[str] = None
+    impulse_response: Optional[str] = None
+    impulse_response_start_bin: int = 0
+    n_impulse_response_bins: int = 0
+    light_static_wrt_camera: bool = False
+    image_subdir: Optional[str] = None
+    llff_load_from_poses_bounds: bool = False
+    load_ngp_format_poses: bool = False
+    load_alphabetical: bool = True
+    exposure_percentile: float = 97.0
     compute_disp_metrics: bool = False
     compute_normal_metrics: bool = False
     compute_albedo_metrics: bool = False

@@ -1,0 +1,187 @@
+"""Dataset loaders: synthetic fixtures on disk -> coherent ray batches."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from neural_radiance_caching_tpu.data import camera_utils, datasets, env_maps
+from neural_radiance_caching_tpu.engine.configs import Config
+
+
+def _pose(i, n):
+    return camera_utils.generate_spherical_poses(n, radius=4.0, seed=3)[i]
+
+
+def _transforms(n, res, focal_frac=1.2):
+    frames = []
+    for i in range(n):
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :4] = _pose(i, n)
+        frames.append({"file_path": f"train/r_{i}", "transform_matrix": m.tolist()})
+    return {
+        "camera_angle_x": float(2 * np.arctan(0.5 / focal_frac)),
+        "w": res, "h": res,
+        "frames": frames,
+    }
+
+
+def _write_png(path, arr):
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray((np.clip(arr, 0, 1) * 255).astype(np.uint8)).save(path)
+
+
+@pytest.fixture(scope="module")
+def blender_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("blender")
+    res, n = 8, 3
+    for split in ("train", "test"):
+        meta = _transforms(n, res)
+        for f in meta["frames"]:
+            f["file_path"] = f["file_path"].replace("train/", f"{split}/")
+        with open(d / f"transforms_{split}.json", "w") as fp:
+            json.dump(meta, fp)
+        for i in range(n):
+            rgba = np.random.RandomState(i).rand(res, res, 4)
+            _write_png(str(d / split / f"r_{i}.png"), rgba)
+    return str(d)
+
+
+def test_blender_loader(blender_dir):
+    config = Config(dataset_loader="blender", near=0.1, far=5.0, batch_size=16,
+                    linear_to_srgb=True)
+    ds = datasets.load_dataset("train", blender_dir, config)
+    assert ds.images.shape == (3, 8, 8, 3)
+    batch = ds.next_train()
+    assert batch.rays.origins.shape == (16, 3)
+    assert np.isfinite(batch.rays.directions).all()
+    assert batch.rgb.shape == (16, 3)
+    eval_batch = ds.generate_ray_batch(1)
+    assert eval_batch.rgb.shape == (64, 3)
+
+
+def test_blender_active_loader(blender_dir):
+    config = Config(dataset_loader="blender_active", near=0.1, far=5.0,
+                    batch_size=8, linear_to_srgb=True)
+    ds = datasets.load_dataset("train", blender_dir, config)
+    batch = ds.next_train()
+    assert batch.rgb.shape == (8, 3)
+    assert np.isfinite(batch.rays.lights).all()
+
+
+@pytest.fixture(scope="module")
+def transient_dir(tmp_path_factory):
+    import h5py
+
+    d = tmp_path_factory.mktemp("transient")
+    res, n, total_bins = 8, 3, 24
+    meta = _transforms(n, res)
+    for f in meta["frames"]:
+        f["file_path"] = f["file_path"].replace("train/", "frames/") + ".h5"
+    for split in ("train", "test"):
+        with open(d / f"transforms_{split}.json", "w") as fp:
+            json.dump(meta, fp)
+    os.makedirs(d / "frames")
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        with h5py.File(d / "frames" / f"r_{i}.h5", "w") as f:
+            f["data"] = rng.rand(res, res, total_bins, 3).astype(np.float32)
+    # Flattened training stream.
+    m = 256
+    os.makedirs(d / "train_efficient")
+    for name, arr in (
+        ("x", rng.randint(0, res, m)),
+        ("y", rng.randint(0, res, m)),
+        ("file_indices", rng.randint(0, n, m)),
+        ("samples", rng.rand(m, total_bins, 3).astype(np.float32)),
+    ):
+        with h5py.File(d / "train_efficient" / f"{name}.h5", "w") as f:
+            f["dataset"] = arr
+    return str(d)
+
+
+def test_transient_simulation_loader(transient_dir):
+    config = Config(
+        dataset_loader="transient_simulation", near=0.1, far=5.0, batch_size=32,
+        use_transient=True, n_bins=16, start_bin=2, test_start_bin=2,
+        height=8, width=8, test_height=8, test_width=8, vis_only=True,
+    )
+    ds = datasets.load_dataset("train", transient_dir, config)
+    batch = ds.next_train()
+    assert batch.rgb.shape == (32, 16, 3)
+    assert batch.masks.shape == (32, 1)
+    assert batch.rays.origins.shape == (32, 3)
+    test_ds = datasets.load_dataset("test", transient_dir, config)
+    eval_batch = test_ds.generate_ray_batch(0)
+    assert eval_batch.rgb.shape == (64, 16, 3)
+
+
+def test_fwp_transient_loader(transient_dir):
+    # Add per-frame 'camera' intrinsics required by the FWP format.
+    with open(os.path.join(transient_dir, "transforms_train.json")) as f:
+        meta = json.load(f)
+    K = np.array([[9.6, 0, 4.0], [0, 9.6, 4.0], [0, 0, 1.0]])
+    for fr in meta["frames"]:
+        fr["camera"] = (K * (512 / 8)).tolist()  # stored at 512 scale
+    for split in ("train", "test"):
+        with open(os.path.join(transient_dir, f"transforms_{split}.json"), "w") as f:
+            json.dump(meta, f)
+    config = Config(
+        dataset_loader="fwp_transient_captured", near=0.1, far=5.0, batch_size=16,
+        use_transient=True, n_bins=16, start_bin=0, height=8, width=8,
+        test_height=8, test_width=8, vis_only=True, dataset_scale=2.0,
+        light_source_position=[0.1, 0.2, 0.3], light_static_wrt_camera=True,
+        mask_threshold=0.0,
+    )
+    ds = datasets.load_dataset("train", transient_dir, config)
+    batch = ds.next_train()
+    assert batch.rgb.shape == (16, 16, 3)
+    assert np.isfinite(batch.rays.lights).all()
+
+
+def test_env_map_tables():
+    rgb = np.abs(np.random.RandomState(0).rand(16, 32, 3)).astype(np.float32)
+    tables = env_maps.build_env_map_tables(rgb)
+    assert tables["env_map"].shape == (1, 512, 1, 3)
+    pmf = tables["env_map_pmf"]
+    np.testing.assert_allclose(pmf.sum(), 1.0, rtol=1e-5)
+    dirs = tables["env_map_dirs"].reshape(-1, 3)
+    np.testing.assert_allclose(np.linalg.norm(dirs, axis=-1), 1.0, atol=1e-5)
+
+
+def test_llff_poses_bounds(tmp_path_factory):
+    d = tmp_path_factory.mktemp("llff")
+    n, res = 6, 8
+    poses_hwf = np.zeros((n, 3, 5))
+    for i in range(n):
+        poses_hwf[i, :, :4] = _pose(i, n)
+        poses_hwf[i, :, 4] = [res, res, 10.0]
+    arr = np.concatenate(
+        [poses_hwf.reshape(n, -1), np.tile([[1.0, 10.0]], (n, 1))], axis=1
+    )
+    np.save(str(d / "poses_bounds.npy"), arr)
+    os.makedirs(d / "images")
+    for i in range(n):
+        _write_png(str(d / "images" / f"img_{i}.png"),
+                   np.random.RandomState(i).rand(res, res, 3))
+    config = Config(dataset_loader="llff", near=0.1, far=5.0, batch_size=8,
+                    llff_load_from_poses_bounds=True, llffhold=3,
+                    linear_to_srgb=True)
+    ds = datasets.load_dataset("train", str(d), config)
+    assert ds.images.shape[0] == 4  # 6 images, every 3rd held out
+    batch = ds.next_train()
+    assert batch.rgb.shape == (8, 3)
+
+
+def test_pose_math_roundtrip():
+    poses = camera_utils.generate_spherical_poses(5, radius=3.0, seed=1)
+    recentered, tform = camera_utils.recenter_poses(poses)
+    back = camera_utils.unpad_poses(
+        np.linalg.inv(tform) @ camera_utils.pad_poses(recentered)
+    )
+    np.testing.assert_allclose(back, poses, atol=1e-5)
+    pca, _ = camera_utils.transform_poses_pca(poses)
+    assert np.abs(pca[:, :3, 3]).max() <= 1.0 + 1e-5
