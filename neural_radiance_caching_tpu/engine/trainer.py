@@ -39,6 +39,7 @@ from neural_radiance_caching_tpu.ops import image as image_lib
 from neural_radiance_caching_tpu.parallel import mesh as mesh_lib
 from neural_radiance_caching_tpu.parallel import train as train_lib
 from neural_radiance_caching_tpu.utils import checkpoints as ckpt_lib
+from neural_radiance_caching_tpu.utils import vis as vis_lib
 
 # Minimal built-in registry; configs/trainer.gin binds the full one
 # (reference configs/trainer.gin).
@@ -576,6 +577,7 @@ class Trainer:
                 )
 
     def _initialize_metrics(self):
+        self.albedo_ratio = None
         self.metric_list = {
             k: []
             for k in (
@@ -615,33 +617,26 @@ class Trainer:
         t0 = time.time()
         rendering, batch = self.render_test_view(cam_idx, train_frac)
         H, W = self.test_dataset.height, self.test_dataset.width
-
-        gt = np.asarray(batch.rgb).reshape(H, W, -1)
-        metrics = {}
-        if "rgb" in rendering:
-            pred = self.postprocess_fn(rendering["rgb"])
-            gt_pp = self.postprocess_fn(gt) if not self.config.linear_to_srgb else gt
-            if gt_pp.shape == pred.shape:
-                metrics = self.metric_harness(pred, gt_pp)
+        metrics = self._compute_eval_metrics(rendering, batch, H, W)
         for k, v in metrics.items():
             if k in self.metric_list:
                 self.metric_list[k].append(float(v))
 
         if self.save_dir and self.save_results:
             os.makedirs(self.save_dir, exist_ok=True)
-            for key, folder in (
-                ("rgb", "color"),
-                ("cache_rgb", "color_cache"),
-                ("distance_mean", "distance"),
-                ("normals", "normals"),
-                ("acc", "acc"),
-                ("material_albedo", "albedo"),
-                ("material_roughness", "roughness"),
-            ):
-                if key in rendering:
-                    d = os.path.join(self.save_dir, folder)
-                    os.makedirs(d, exist_ok=True)
-                    np.save(os.path.join(d, f"{step:06d}.npy"), rendering[key])
+            suite = (
+                vis_lib.visualize_transient_suite
+                if self.use_transient
+                else vis_lib.visualize_suite
+            )
+            vis = suite(rendering, self.config, vis_material=self.use_material)
+            vis_lib.save_vis_suite(vis, self.save_dir, step)
+            if "rgb" in rendering:
+                d = os.path.join(self.save_dir, "color")
+                os.makedirs(d, exist_ok=True)
+                np.save(os.path.join(d, f"{step:06d}.npy"), rendering["rgb"])
+            if self.use_transient and "cache_rgb" in rendering:
+                self._save_transient_h5(rendering, step)
         print(
             f"eval step={step} cam={cam_idx} "
             + " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
@@ -649,6 +644,106 @@ class Trainer:
             flush=True,
         )
         return metrics
+
+    def _compute_eval_metrics(self, rendering, batch, H, W):
+        """PSNR/SSIM + normal MAE, depth L1, albedo PSNR, transient IoU
+        (trainer.py:1427-1866)."""
+        config = self.config
+        metrics = {}
+        gt = np.asarray(batch.rgb)
+        gt = gt.reshape((H, W) + gt.shape[1:])
+
+        if "rgb" in rendering:
+            pred = self.postprocess_fn(np.asarray(rendering["rgb"]))
+            gt_pp = self.postprocess_fn(gt)
+            if gt_pp.shape == pred.shape:
+                metrics.update(self.metric_harness(pred, gt_pp))
+
+        masks = (
+            np.asarray(batch.masks).reshape(H, W, -1)[..., :1]
+            if batch.masks is not None
+            else np.ones((H, W, 1), np.float32)
+        )
+
+        # Normal mean angular error (trainer.py:1801-1866).
+        if batch.normals is not None and (
+            "normals" in rendering or "normals_to_use" in rendering
+        ):
+            normals_gt = np.asarray(batch.normals).reshape(-1, 3)
+            normals_gt = normals_gt + (1.0 - masks.reshape(-1, 1))
+            norm = np.linalg.norm(normals_gt, axis=-1, keepdims=True)
+            normals_gt = np.where(norm < 1e-5, 0.0, normals_gt / np.maximum(norm, 1e-12))
+            key = "normals" if config.material_normals_target == "normals" else (
+                "normals_to_use" if "normals_to_use" in rendering else "normals"
+            )
+            acc = np.asarray(rendering.get("acc", np.ones((H, W)))).reshape(-1, 1)
+            normals = np.asarray(rendering[key]).reshape(-1, 3) + (1.0 - acc)
+            norm = np.linalg.norm(normals, axis=-1, keepdims=True)
+            normals = np.where(norm < 1e-5, 0.0, normals / np.maximum(norm, 1e-12))
+            angles = np.arccos(
+                np.clip(np.sum(normals_gt * normals, axis=-1), -1, 1)
+            ) * 180 / np.pi
+            if config.evaluate_without_masks:
+                metrics["mae"] = float(np.mean(angles))
+            else:
+                metrics["mae"] = float(np.mean(angles * masks.reshape(-1)))
+
+        # Depth L1 (trainer.py:1756-1799).
+        if batch.depth is not None and "distance_mean" in rendering:
+            depth_gt = np.asarray(batch.depth).reshape(H, W)
+            for key, name in (("distance_median", "l1_median"),
+                              ("distance_mean", "l1_mean")):
+                if key not in rendering:
+                    continue
+                l1 = np.abs(np.asarray(rendering[key]).reshape(H, W) - depth_gt)
+                if config.evaluate_without_masks:
+                    metrics[name] = float(np.mean(l1))
+                else:
+                    metrics[name] = float(
+                        (l1 * masks[..., 0]).sum() / masks.sum()
+                    )
+
+        # Albedo PSNR with a global least-squares color calibration
+        # (trainer.py:1499-1582, 2202-2240 — per-run ratio simplified to
+        # per-image when no accumulated ratio is available).
+        if batch.albedos is not None and "material_albedo" in rendering:
+            albedo_gt = np.asarray(batch.albedos).reshape(-1, 3)
+            albedo = np.clip(
+                np.asarray(rendering["material_albedo"]).reshape(-1, 3),
+                0.0, self.albedo_clip,
+            )
+            m = masks.reshape(-1) > 0.5
+            if m.any():
+                if self.albedo_ratio is None:
+                    num = (albedo_gt[m] * albedo[m]).sum(axis=0)
+                    den = np.maximum((albedo[m] ** 2).sum(axis=0), 1e-8)
+                    ratio = (num / den).reshape(1, 3)
+                else:
+                    ratio = self.albedo_ratio
+                calibrated = np.clip(albedo * ratio, 0.0, 1.0)
+                mse = np.mean((calibrated[m] - np.clip(albedo_gt[m], 0, 1)) ** 2)
+                metrics["albedo_psnr"] = float(-10.0 * np.log10(mse + 1e-12))
+
+        # Transient IoU (trainer.py:1626-1647).
+        if config.use_transient and "cache_rgb" in rendering and gt.ndim == 4:
+            pred_t = np.nan_to_num(np.asarray(rendering["cache_rgb"]))
+            gt_t = gt[..., :3]
+            if pred_t.shape == gt_t.shape:
+                inter = np.minimum(pred_t, gt_t).sum()
+                union = np.maximum(pred_t, gt_t).sum()
+                metrics["transient_iou"] = float(inter / max(union, 1e-12))
+        return metrics
+
+    def _save_transient_h5(self, rendering, step):
+        import h5py
+
+        d = os.path.join(self.save_dir, "transients")
+        os.makedirs(d, exist_ok=True)
+        with h5py.File(os.path.join(d, f"{step:06d}.h5"), "w") as f:
+            f.create_dataset(
+                "data", data=np.nan_to_num(np.asarray(rendering["cache_rgb"])),
+                dtype="f",
+            )
 
     # --- train -----------------------------------------------------------------
 
