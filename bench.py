@@ -45,6 +45,13 @@ def build_flagship_cache_model(config):
     """
     appearance_grid = {
         "hash_map_size": 524288, "max_grid_size": 2048, "num_features": 4,
+        # Factor-2 level growth (8 levels, 16..2048) matching the reference
+        # flagship config (ngp_yobo.gin HashEncoding.scale_supersample=1.0).
+        "scale_supersample": 1.0,
+        # Tetrahedral interpolation: 4 taps/level instead of 8 halves the
+        # encoder's gather rows and backward scatter updates (the two
+        # dominant costs on TPU) with C0 continuity preserved.
+        "interpolation": "simplex",
         "bbox_scaling": 2.0,
     }
     proposal_mlp = {

@@ -40,9 +40,12 @@ class HashEncoding(nn.Module):
     precondition_scaling: float = 10.0
     bbox_scaling: Union[float, BboxType] = 2.0
     append_scale: bool = False
-    # Accepted for reference-config compatibility; the fused path implements
-    # trilinear interpolation only (the reference default).
+    # Accepted for reference-config compatibility.
     resample_op_mode: Any = None
+    # 'trilinear' (8 taps, the reference scheme) or 'simplex' (tetrahedral,
+    # 4 taps): halves gather rows and backward scatter updates on TPU with C0
+    # continuity preserved.
+    interpolation: str = "trilinear"
     feature_aggregator: str = "concatenate"
 
     @property
@@ -154,6 +157,7 @@ class HashEncoding(nn.Module):
                 dense_offsets=self.dense_offsets,
                 x_scale=None if x_scale is None else x_scale[..., None, :],
                 multisample_reduce="mean",
+                interpolation=self.interpolation,
             )
             return features * self.precondition_scaling
 
@@ -166,6 +170,7 @@ class HashEncoding(nn.Module):
             dense_offsets=self.dense_offsets,
             x_scale=x_scale,
             multisample_reduce=reduce,
+            interpolation=self.interpolation,
         )
         return features * self.precondition_scaling
 

@@ -84,18 +84,20 @@ def compute_integral(t, y):
 
 
 def _bracket(x, xp):
-    """searchsorted-style bracketing indices (right-continuous)."""
-    idx = jnp.vectorize(
-        functools.partial(jnp.searchsorted, side="right"), signature="(n),(m)->(m)"
-    )(xp, x)
-    return jnp.maximum(idx - 1, 0), jnp.minimum(idx, xp.shape[-1] - 1)
+    """searchsorted-style bracketing indices (right-continuous).
+
+    Uses the dense mask-reduction searchsorted (ops.math): on TPU the
+    binary-search while-loop jnp.searchsorted compiles to ~30ms/step of
+    serial gathers at the spline-loss sizes; the O(N*M) VPU reduction is
+    ~free."""
+    return math.searchsorted(xp, x)
 
 
 def interpolate_integral(tq, t, a, b, c):
     """Evaluate the piecewise quadratic from compute_integral at tq."""
     tq = jnp.clip(tq, t[..., :1], math.minus_eps(t[..., -1:]))
     idx0, _ = _bracket(tq, t)
-    take = lambda v: jnp.take_along_axis(v, idx0, axis=-1)
+    take = lambda v: math.take_along_last(v, idx0)
     td = tq - take(t)
     return take(a) * td**2 + take(b) * td + take(c)
 
@@ -105,7 +107,7 @@ def interpolate_inverse_integral(uq, t, a, b, c):
     u = interpolate_integral(t, t, a, b, c)
     uq = jnp.clip(uq, u[..., :1], math.minus_eps(u[..., -1:]))
     idx0, idx1 = _bracket(uq, u)
-    take0 = lambda v: jnp.take_along_axis(v, idx0, axis=-1)
+    take0 = lambda v: math.take_along_last(v, idx0)
     t0, a0, b0, c0 = take0(t), take0(a), take0(b), take0(c)
 
     a0_safe = jnp.where(a0 >= 0, 1, -1) * jnp.maximum(EPS2, jnp.abs(a0))
@@ -117,7 +119,7 @@ def interpolate_inverse_integral(uq, t, a, b, c):
     v_lin = t0 + (a0 * t0**2 - (c0 - uq)) / d0_safe
 
     v = jnp.where((jnp.abs(a0) <= EPS2) | (z <= EPS2), v_lin, v_quad)
-    t1 = jnp.take_along_axis(t, idx1, axis=-1)
+    t1 = math.take_along_last(t, idx1)
     return jnp.clip(v, jnp.minimum(t0, t1), jnp.maximum(t0, t1))
 
 
@@ -139,9 +141,11 @@ def blur_stepfun(ts, ys, halfwidth):
 
     tp = jnp.concatenate([ts_lo, ts_hi], axis=-1)
     dyp = jnp.concatenate([dy, -dy], axis=-1)
-    order = jnp.argsort(tp, axis=-1)
-    tp = jnp.take_along_axis(tp, order, axis=-1)
-    dyp = jnp.take_along_axis(dyp, order[..., :-2], axis=-1)
+    # One fused key-value sort instead of argsort + two lane gathers (the
+    # reference gathers dyp at order[..., :-2], i.e. sorted minus the two
+    # largest-knot entries).
+    tp, dyp_sorted = jax.lax.sort([tp, dyp], dimension=-1, num_keys=1)
+    dyp = dyp_sorted[..., :-2]
 
     yp = jnp.cumsum(jnp.diff(tp)[..., :-1] * jnp.cumsum(dyp, axis=-1), axis=-1)
     yp = jnp.concatenate(

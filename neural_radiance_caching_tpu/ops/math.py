@@ -353,6 +353,20 @@ def safe_cholesky(a, **kwargs):
 # ---------------------------------------------------------------------------
 
 
+def take_along_last(v, idx):
+    """take_along_axis(v, idx, -1) as a dense one-hot multiply-reduce.
+
+    XLA lowers lane-axis take_along_axis to a per-element gather that
+    dominates sampler/loss profiles on TPU (~5ms per call at NeRF sizes);
+    the [..., M, N] equality-mask reduction is pure VPU and ~free for the
+    knot counts used here (N <= ~260).
+    """
+    n = v.shape[-1]
+    iota = jnp.arange(n, dtype=idx.dtype)
+    eq = idx[..., :, None] == iota  # [..., M, N]
+    return jnp.sum(jnp.where(eq, v[..., None, :], 0), axis=-1)
+
+
 def sorted_lookup(x, xp, fps=()):
     """For each x find its bracketing knots in sorted xp; gather fp values.
 
@@ -368,20 +382,28 @@ def sorted_lookup(x, xp, fps=()):
     if not isinstance(fps, tuple):
         raise ValueError(f"`fps` must be a tuple, got {type(fps)}.")
 
-    # mask[..., n, m] == True iff x[m] >= xp[n]. The bracketing indices fall
-    # out of a dense masked max/min reduction over the knot axis — no
+    # count[m] = #{n : x[m] >= xp[n]} from ONE dense mask reduction (xp is
+    # sorted, so the mask is monotone in n). Bracketing indices follow
+    # arithmetically: idx0 = count-1 (clamped), idx1 = count (clamped) — no
     # searchsorted, no data-dependent gathers for the index computation.
-    mask = x[..., None, :] >= xp[..., :, None]
-    idx = jnp.arange(xp.shape[-1])
-    idx0 = jnp.max(jnp.where(mask, idx[..., None], idx[0]), axis=-2)
-    idx1 = jnp.min(jnp.where(~mask, idx[..., None], idx[-1]), axis=-2)
+    n = xp.shape[-1]
+    mask = x[..., None, :] >= xp[..., :, None]  # [..., N, M]
+    count = jnp.sum(mask, axis=-2).astype(jnp.int32)
+    idx0 = jnp.clip(count - 1, 0, n - 1)
+    idx1 = jnp.minimum(count, n - 1)
 
-    # Values are picked up with small take_along_axis gathers (correct for
-    # arbitrary fp, unlike a masked reduction which needs monotone fp).
+    # Values via one equality mask per fp; the interval-end value reuses the
+    # same mask against a shifted copy (idx1 == idx0 + 1 except at the ends,
+    # fixed up explicitly).
+    iota = jnp.arange(n, dtype=jnp.int32)
+    eq0 = idx0[..., :, None] == iota  # [..., M, N]
+    below = count == 0
     vals = []
     for fp in fps:
-        fp0 = jnp.take_along_axis(fp, idx0, axis=-1)
-        fp1 = jnp.take_along_axis(fp, idx1, axis=-1)
+        fp_shift = jnp.concatenate([fp[..., 1:], fp[..., -1:]], axis=-1)
+        fp0 = jnp.sum(jnp.where(eq0, fp[..., None, :], 0), axis=-1)
+        fp1 = jnp.sum(jnp.where(eq0, fp_shift[..., None, :], 0), axis=-1)
+        fp1 = jnp.where(below, jnp.broadcast_to(fp[..., :1], fp1.shape), fp1)
         vals.append((fp0, fp1))
     return (idx0, idx1), vals
 

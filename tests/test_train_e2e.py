@@ -140,3 +140,45 @@ def test_state_is_replicated_batch_is_sharded(trained):
     batch = mesh_lib.shard_batch(dataset.next_train(), mesh)
     assert not batch.rgb.sharding.is_fully_replicated
     assert batch.rgb.sharding.spec == jax.sharding.PartitionSpec("data")
+
+
+def test_simplex_interpolation_learns():
+    """Tetrahedral (4-tap) grid interpolation — the TPU-first flagship default
+    — must train as well as trilinear on the same budget."""
+    config = Config(
+        dataset_loader="synthetic_spheres", batch_size=256, near=2.0, far=6.0,
+        max_steps=40, lr_init=5e-3, lr_final=2e-3, lr_delay_steps=0,
+        data_loss_type="charb", interlevel_loss_mults=(0.01, 0.01),
+        interlevel_loss_blurs=(0.03, 0.003), distortion_loss_mult=0.01,
+        predicted_normal_loss_mult=0.05, predicted_normal_reverse_loss_mult=0.05,
+        opaque_loss_weight=0.0, empty_loss_weight=0.0, linear_to_srgb=True,
+        mask_lossmult=False,
+    )
+    dataset = datasets.SyntheticSpheres("train", None, config, num_images=4,
+                                        resolution=24)
+    global TINY_GRID
+    saved = dict(TINY_GRID)
+    TINY_GRID.update(interpolation="simplex")
+    try:
+        model = make_tiny_model(config)
+        from neural_radiance_caching_tpu.utils import pytrees
+
+        mesh = mesh_lib.create_mesh()
+        variables = model.init(
+            jax.random.PRNGKey(0), jax.random.PRNGKey(1), pytrees.dummy_rays(8),
+            train_frac=1.0, train=False,
+        )
+        state, _ = train_lib.create_optimizer(config, variables)
+        state = mesh_lib.replicate(state, mesh)
+        train_step = train_lib.create_train_step(model, config, mesh=mesh)
+        rng = jax.random.PRNGKey(42)
+        losses = []
+        for step in range(config.max_steps):
+            batch = mesh_lib.shard_batch(dataset.next_train(), mesh)
+            state, stats = train_step(rng, state, batch, step / config.max_steps)
+            losses.append(float(stats["loss"]))
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-8:]) < np.mean(losses[:8]) * 0.75, losses
+    finally:
+        TINY_GRID.clear()
+        TINY_GRID.update(saved)
