@@ -59,6 +59,9 @@ def build_flagship_cache_model(config):
         "min_deg_point": 0, "max_deg_point": 8,
         "disable_density_normals": True, "enable_pred_normals": False,
         "normals_for_filter_only": True, "warp_fn": coord.contract_radius_2,
+        # Proposal densities only shape sampling; bf16 matmuls are lossless
+        # in practice and run the MXU at full rate.
+        "use_bf16_compute": True,
     }
     mlp = {
         "net_depth": 2, "net_width": 64, "disable_density_normals": True,

@@ -50,6 +50,9 @@ class BaseDensityMLP(nn.Module):
     enable_normals_offset: bool = False
     use_corrected_normals: bool = False
     disable_density_normals: bool = False
+    # Run the trunk matmuls in bf16 (full-rate MXU; fp32 matmuls are
+    # multi-pass on TPU). Parameters and outputs stay f32.
+    use_bf16_compute: bool = False
 
     isotropize_gaussians: bool = False
     gaussian_covariance_scale: float = 1.0
@@ -85,7 +88,11 @@ class BaseDensityMLP(nn.Module):
             geopoly.generate_basis(self.basis_shape, self.basis_subdivisions)
         ).T
         dense = functools.partial(
-            nn.Dense, kernel_init=getattr(jax.nn.initializers, self.weight_init)()
+            nn.Dense,
+            kernel_init=getattr(jax.nn.initializers, self.weight_init)(),
+            # Matmul compute dtype: bf16 runs the MXU at full rate (fp32
+            # matmuls are multi-pass on v5e); params stay f32.
+            dtype=jnp.bfloat16 if self.use_bf16_compute else None,
         )
         self.density_layers = [dense(self.net_width) for _ in range(self.net_depth)]
         self.output_density_layer = dense(1)
@@ -104,8 +111,8 @@ class BaseDensityMLP(nn.Module):
             x = self.net_activation(layer(x))
             if i % self.skip_layer == 0 and i > 0:
                 x = jnp.concatenate([x, inputs], axis=-1)
-        raw_density = self.output_density_layer(x)[..., 0]
-        return raw_density, x
+        raw_density = self.output_density_layer(x)[..., 0].astype(jnp.float32)
+        return raw_density, x.astype(jnp.float32)
 
     def _encode(self, means, covs, control_offsets, perp_mag, is_secondary):
         """Build the network input features for each sample mean."""
