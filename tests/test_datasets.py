@@ -185,3 +185,30 @@ def test_pose_math_roundtrip():
     np.testing.assert_allclose(back, poses, atol=1e-5)
     pca, _ = camera_utils.transform_poses_pca(poses)
     assert np.abs(pca[:, :3, 3]).max() <= 1.0 + 1e-5
+
+
+def test_bundle_rays_roundtrip(transient_dir, tmp_path):
+    """bundle.py produces the train_efficient stream the transient loader reads."""
+    import bundle
+
+    out = str(tmp_path / "train_efficient")
+    bundle.bundle_rays(transient_dir, out,
+                       os.path.join(transient_dir, "transforms_train.json"))
+    import h5py
+
+    with h5py.File(os.path.join(out, "samples.h5")) as f:
+        samples = np.array(f["dataset"])
+    with h5py.File(os.path.join(out, "x.h5")) as f:
+        xs = np.array(f["dataset"]).astype(int)
+    with h5py.File(os.path.join(out, "file_indices.h5")) as f:
+        fi = np.array(f["dataset"]).astype(int)
+    assert samples.shape[0] == 3 * 8 * 8  # n_frames * H * W
+    assert samples.shape[-1] == 3
+    assert xs.max() < 8 and fi.max() < 3
+    # Spot-check one entry against the source frame.
+    with h5py.File(os.path.join(out, "y.h5")) as f:
+        ys = np.array(f["dataset"]).astype(int)
+    from neural_radiance_caching_tpu.data.io import read_h5
+
+    frame = read_h5(os.path.join(transient_dir, "frames", f"r_{fi[0]}.h5"))
+    np.testing.assert_allclose(samples[0], frame[ys[0], xs[0], :, :3], atol=1e-6)
