@@ -5,10 +5,10 @@ Behavioral parity target: reference internal/datasets.py (Dataset ABC
 
 Implemented loaders: blender, blender_active, transient_simulation,
 transient_simulation_itof, fwp_transient_captured, orb, open_illum, neilf,
-real, glossy_real, glossy_synthetic, llff, plus the procedural
-synthetic_spheres scene used by tests/benchmarks. The remaining reference
-loaders (tat_*, dtu, pixelrig, rtmv, aerial, fipt_*) dispatch to a clear
-NotImplementedError until their phase.
+real, fipt_real, fipt_synthetic, glossy_real, glossy_synthetic, llff, plus
+the procedural synthetic_spheres scene used by tests/benchmarks. The
+remaining reference loaders (tat_*, dtu, pixelrig, rtmv, aerial) dispatch to
+a clear NotImplementedError until their phase.
 
 Batching is host-side numpy: `next_train` draws random pixels (from stacked
 images, a flattened pixel table, or transient h5 sample streams), casts them
@@ -45,13 +45,14 @@ def load_dataset(split, data_dir, config, **kwargs):
         "open_illum": OpenIllum,
         "neilf": Neilf,
         "real": Real,
+        "fipt_real": FIPTReal,
+        "fipt_synthetic": FIPTSynthetic,
         "glossy_real": GlossyReal,
         "glossy_synthetic": GlossySynthetic,
         "llff": LLFF,
         "synthetic_spheres": SyntheticSpheres,
     }
-    not_yet = ("fipt_real", "fipt_synthetic", "tat_nerfpp", "tat_fvs", "dtu",
-               "pixelrig", "rtmv", "aerial")
+    not_yet = ("tat_nerfpp", "tat_fvs", "dtu", "pixelrig", "rtmv", "aerial")
     if config.dataset_loader in not_yet:
         raise NotImplementedError(
             f"dataset_loader={config.dataset_loader!r} is not implemented yet"
@@ -1367,6 +1368,81 @@ class LLFF(Dataset):
         else:
             self.pixtocams = pixtocams
         self.distortion_params = distortions
+
+
+def read_cam_params_fipt(cam_file):
+    """FIPT OpenGL camera text file: count, then 3 rows (origin/lookat/up)
+    per camera (datasets.py:2436-2445)."""
+    with open(cam_file) as f:
+        cam_data = f.read().splitlines()
+    cam_num = int(cam_data[0])
+    cam_params = np.array([x.split(" ") for x in cam_data[1:]]).astype(np.float32)
+    assert cam_params.shape[0] == cam_num * 3
+    return np.split(cam_params, cam_num, axis=0)
+
+
+class FIPTReal(Dataset):
+    """FIPT real captures: cam.txt / K_list.txt + EXR frames
+    (datasets.py:2450-2545)."""
+
+    def _load_renderings(self, config):
+        root = os.path.expanduser(self.data_dir)
+        c2ws = []
+        for c2w_raw in read_cam_params_fipt(os.path.join(root, "cam.txt")):
+            origin, lookat, up = [v.flatten() for v in np.split(c2w_raw.T, 3, axis=1)]
+            at = (lookat - origin) / np.linalg.norm(lookat - origin)
+            rot = np.stack((np.cross(-up, at), up, -at), -1).astype(np.float32)
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, :4] = np.hstack((rot, origin.reshape(3, 1).astype(np.float32)))
+            c2ws.append(pose)
+        c2ws = np.stack(c2ws, 0)[:, :3, :4]
+        ks = np.stack(read_cam_params_fipt(os.path.join(root, "K_list.txt")), 0)
+        self.camtoworlds, _ = camera_utils.transform_poses_pca(c2ws)
+        self.pixtocams = np.linalg.inv(ks).astype(np.float32)
+
+        image_dir = os.path.join(root, "Image")
+        nameprefixes = sorted(
+            os.path.join("Image", p[: -len(".exr")])
+            for p in os.listdir(image_dir)
+            if p.endswith(".exr")
+        )
+        self._load_fipt_images(config, nameprefixes)
+
+    def _load_fipt_images(self, config, nameprefixes):
+        images = []
+        for prefix in nameprefixes:
+            image, _, _, _, _ = io_lib.get_imgs(
+                self.data_dir, max(config.factor, 1), False, self._use_exrs,
+                False, False, False, False, prefix,
+            )
+            images.append(image)
+        images = np.stack(images, axis=0)
+        if self._use_exrs and config.linear_to_srgb:
+            # Median-exposure normalization then sRGB (datasets.py:2515-2524).
+            images = np.clip(
+                image_ops.linear_to_srgb(images / 0.65 * 0.65), 0.0, np.inf
+            )
+        self.images = images[..., :3].astype(np.float32)
+        self._flattened = True
+        self.images_flattened, self.indices_flattened = flatten_data(
+            [z for z in self.images]
+        )
+
+
+class FIPTSynthetic(FIPTReal):
+    """FIPT synthetic scenes: NGP-format poses under train/
+    (datasets.py:2546-2618)."""
+
+    def _load_renderings(self, config):
+        _, camtoworlds, pixtocams, distortions, camtype, nameprefixes = (
+            load_ngp_posedata(config, self.data_dir, "train/transforms.json")
+        )
+        camtoworlds = camtoworlds @ np.diag([-1, 1, -1, 1.0])
+        self.camtoworlds = camtoworlds[:, :3, :4]
+        self.pixtocams = pixtocams
+        self.distortion_params = distortions
+        self.camtype = camtype
+        self._load_fipt_images(config, nameprefixes)
 
 
 # --- procedural test scene -------------------------------------------------------------

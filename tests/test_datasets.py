@@ -212,3 +212,44 @@ def test_bundle_rays_roundtrip(transient_dir, tmp_path):
 
     frame = read_h5(os.path.join(transient_dir, "frames", f"r_{fi[0]}.h5"))
     np.testing.assert_allclose(samples[0], frame[ys[0], xs[0], :, :3], atol=1e-6)
+
+
+def test_fipt_synthetic_loader(tmp_path):
+    d = tmp_path / "fipt"
+    os.makedirs(d / "train")
+    res, n = 8, 2
+    meta = _transforms(n, res)
+    for f in meta["frames"]:
+        f["file_path"] = f["file_path"].replace("train/", "train/im_")
+    with open(d / "train" / "transforms.json", "w") as fp:
+        json.dump(meta, fp)
+    for i in range(n):
+        _write_png(str(d / "train" / f"im_r_{i}.png"),
+                   np.random.RandomState(i).rand(res, res, 3))
+    config = Config(dataset_loader="fipt_synthetic", near=0.1, far=5.0,
+                    batch_size=8, linear_to_srgb=False, use_exrs=False)
+    ds = datasets.load_dataset("train", str(d), config)
+    batch = ds.next_train()
+    assert batch.rgb.shape == (8, 3)
+    assert np.isfinite(batch.rays.origins).all()
+
+
+def test_fipt_real_cam_parsing(tmp_path):
+    from neural_radiance_caching_tpu.data.datasets import read_cam_params_fipt
+
+    cams = []
+    rng = np.random.RandomState(0)
+    for _ in range(3):
+        origin = rng.randn(3)
+        at = origin + rng.randn(3)
+        up = np.cross(at - origin, rng.randn(3))
+        up = up / np.linalg.norm(up)
+        cams.append(np.stack([origin, at, up]).T)  # stored transposed rows
+    lines = ["3"]
+    for c in cams:
+        for row in c:
+            lines.append(" ".join(str(v) for v in row))
+    p = tmp_path / "cam.txt"
+    p.write_text("\n".join(lines))
+    parsed = read_cam_params_fipt(str(p))
+    assert len(parsed) == 3 and parsed[0].shape == (3, 3)
