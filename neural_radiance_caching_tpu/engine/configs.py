@@ -364,7 +364,10 @@ class Config:
     material_ray_sampler_orientation_loss_mult: float = 1.0
     extra_ray_regularizer: bool = False
     extra_ray_type: str = "incoming"
+    extra_ray_light_shuffle: bool = True
     extra_ray_loss_mult: float = 0.0
+    extra_ray_loss_stopgrad_weight_gt: float = 1.0
+    extra_ray_loss_stopgrad_weight_pred: float = 1.0
     use_extra_ray_weight_ease: bool = False
     extra_ray_weight_ease_frac: float = 0.0
     extra_ray_weight_ease_start: float = 0.0

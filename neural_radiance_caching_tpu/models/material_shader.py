@@ -519,10 +519,12 @@ class BaseMaterialMLP(shading.BaseShader):
             rgb = jnp.maximum(jnp.nan_to_num(out["render"]["rgb"]), 0.0)
             rgb_ns = jnp.maximum(jnp.nan_to_num(out["render"]["rgb_no_stopgrad"]), 0.0)
             srs = out["main"]["sampler"]
-            srs[-1]["acc"] = out["render"]["acc"].reshape(ref_rays.origins.shape[:-1])
-            srs[-1]["acc_no_stopgrad"] = out["render"]["acc_no_stopgrad"].reshape(
+            srs[-1]["acc"] = jnp.nan_to_num(out["render"]["acc"]).reshape(
                 ref_rays.origins.shape[:-1]
             )
+            srs[-1]["acc_no_stopgrad"] = jnp.nan_to_num(
+                out["render"]["acc_no_stopgrad"]
+            ).reshape(ref_rays.origins.shape[:-1])
             return rgb, rgb_ns, srs
 
         return radiance_cache_fn
@@ -883,8 +885,12 @@ class BaseMaterialMLP(shading.BaseShader):
             ref_sampler_results
         )
         for k, val in results.items():
+            # Degenerate MC draws (grazing GGX half-vectors, zero-measure
+            # secondary rays) can yield isolated non-finite samples; drop them
+            # instead of poisoning the whole batch loss (the reference guards
+            # its estimator outputs the same way, material.py:1785, 2223).
             integrated_outputs[f"{light_mode}_{light_component}_{k}"] = (
-                stopgrad_with_weight(val, stopgrad_weight)
+                stopgrad_with_weight(jnp.nan_to_num(val), stopgrad_weight)
             )
 
     def get_outgoing_radiance(self, rng, rays, feature, sampler_results, material,

@@ -702,6 +702,70 @@ def residual_albedo_loss(model, variables, rng, rays, config, batch, results,
     return (diff * weights).sum(axis=-2).mean()
 
 
+# --- extra-ray regularizer (train_utils.py:1305-1421) --------------------------
+
+
+def extra_ray_loss(model, variables, rng, rays, config, batch, results,
+                   full_results, train_frac=1.0, **kwargs):
+    """Consistency between material and cache renders along fresh random
+    outgoing rays (a view-extrapolation regularizer for active captures)."""
+    shader = results["shader"]
+    normals = shader.get(config.material_normals_target)
+    if normals is None or not hasattr(normals, "ndim"):
+        return 0.0
+
+    key, rng = jaxutil.random_split(rng)
+    extra_rays = render_utils.get_outgoing_rays(
+        key,
+        rays,
+        jax.lax.stop_gradient(rays.viewdirs),
+        jax.lax.stop_gradient(normals[..., :1, :]),
+        {},
+        random_generator_2d=model.random_generator_2d,
+        use_mis=False,
+        samplers=model.uniform_importance_samplers,
+        num_secondary_samples=1,
+    )
+
+    key, rng = jaxutil.random_split(rng)
+    extra_results = model.apply(
+        variables, key, extra_rays, train_frac=train_frac, train=True,
+        compute_extras=False,
+    )
+    key, rng = jaxutil.random_split(rng)
+    extra_nocorr = model.apply(
+        variables, key, extra_rays, train_frac=train_frac, train=True,
+        compute_extras=False,
+        cache_outputs={"sampler": extra_results["cache_main"]["sampler"]},
+        filtered_sampler_inds=extra_results["cache_main"]["filtered_sampler_inds"],
+    )
+
+    rgb_gt = jaxutil.stopgrad_with_weight(
+        extra_results["render"]["cache_rgb"],
+        config.extra_ray_loss_stopgrad_weight_gt,
+    )
+    rgb_gt_nocorr = jaxutil.stopgrad_with_weight(
+        extra_nocorr["render"]["cache_rgb"],
+        config.extra_ray_loss_stopgrad_weight_gt,
+    )
+    rgb = jaxutil.stopgrad_with_weight(
+        extra_results["render"]["rgb"].reshape(rgb_gt.shape),
+        config.extra_ray_loss_stopgrad_weight_pred,
+    )
+    rgb_nocorr = jaxutil.stopgrad_with_weight(
+        extra_nocorr["render"]["rgb"].reshape(rgb_gt.shape),
+        config.extra_ray_loss_stopgrad_weight_pred,
+    )
+    pred_outputs = {"rgb": rgb, "rgb_nocorr": rgb_nocorr, "cache_rgb": rgb_gt}
+    if "rawnerf" in config.data_loss_type:
+        return losses_lib.compute_unbiased_loss_rawnerf(
+            pred_outputs, rgb_gt, rgb_gt_nocorr, config
+        ).mean()
+    return losses_lib.compute_unbiased_loss(
+        pred_outputs, rgb_gt, rgb_gt_nocorr, config
+    ).mean()
+
+
 # --- dispatch (train_utils.py:3599-3680) ---------------------------------------
 
 EXTRA_LOSS_FUNCTIONS = {
@@ -719,13 +783,11 @@ EXTRA_LOSS_FUNCTIONS = {
 def compute_extra_losses(model, variables, rng, rays, config, batch, full_results,
                          output_key, losses, train_frac):
     """Evaluate every configured extra loss for one output ('main'/'cache_main')."""
-    if not config.extra_losses:
-        return losses
     results = full_results.get(output_key)
     if results is None:
         return losses
 
-    for loss_name, spec in config.extra_losses.items():
+    for loss_name, spec in (config.extra_losses or {}).items():
         if output_key not in spec:
             continue
         if loss_name == "direct_indirect_consistency":
@@ -752,4 +814,21 @@ def compute_extra_losses(model, variables, rng, rays, config, batch, full_result
         )
         prefix = "" if output_key == "main" else output_key.replace("main", "")
         losses[prefix + loss_name] = mult * cur
+
+    # Extra-ray regularizer (train_utils.py:3662-3680): only on the material
+    # output.
+    if (
+        output_key == "main"
+        and config.extra_ray_loss_mult > 0.0
+        and config.is_material
+    ):
+        key, rng = jaxutil.random_split(rng)
+        losses["extra_ray"] = (
+            config.extra_ray_loss_mult
+            * extra_ray_weight_ease(config, train_frac)
+            * extra_ray_loss(
+                model, variables, key, rays, config, batch, results,
+                full_results, train_frac=train_frac,
+            )
+        )
     return losses

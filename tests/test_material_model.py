@@ -134,3 +134,33 @@ def test_material_train_steps_decrease_loss(material_setup):
     assert np.isfinite(losses).all()
     # Both the cache and material data losses must be present.
     assert "data" in stats["losses"] and "cache_data" in stats["losses"]
+
+
+def test_extra_ray_regularizer():
+    """extra_ray_loss renders fresh outgoing rays through the full model and
+    penalizes material-vs-cache disagreement (train_utils.py:1305-1421)."""
+    import dataclasses
+
+    config = Config(
+        near=0.2, far=6.0, secondary_far=2.0, mask_lossmult=False,
+        material_loss_radius=2.0, data_loss_type="rawnerf_unbiased",
+        use_gradient_debias=True, interlevel_loss_mults=(0.01, 0.01),
+        interlevel_loss_blurs=(0.03, 0.003), batch_size=16, max_steps=2,
+        lr_init=2e-3, lr_final=1e-3, lr_delay_steps=0,
+        dataset_loader="synthetic_spheres", linear_to_srgb=True,
+        is_material=True, extra_ray_loss_mult=0.1,
+    )
+    model = make_material_model(config)
+    variables = jax.jit(functools.partial(model.init, train_frac=1.0, train=True))(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1), pytrees.dummy_rays(4)
+    )
+    dataset = datasets.SyntheticSpheres("train", None, config, num_images=2,
+                                        resolution=8)
+    mesh = mesh_lib.create_mesh()
+    state, _ = train_lib.create_optimizer(config, variables)
+    state = mesh_lib.replicate(state, mesh)
+    step = train_lib.create_train_step(model, config, mesh=mesh)
+    batch = mesh_lib.shard_batch(dataset.next_train(), mesh)
+    state, stats = step(jax.random.PRNGKey(0), state, batch, 0.5)
+    assert "extra_ray" in stats["losses"]
+    assert np.isfinite(float(stats["loss"]))
