@@ -92,6 +92,12 @@ class ProposalVolumeSampler(nn.Module):
             )
             for i, params in enumerate(self.mlp_params_per_level)
         ]
+        if self.use_sample_network:
+            from neural_radiance_caching_tpu.models import sample_net
+
+            self.sample_net = sample_net.SampleNetwork(
+                config=self.config, name="SampleNetwork"
+            )
 
     def _ray_warps(self, rays, use_raydist_fn):
         if not use_raydist_fn:
@@ -212,6 +218,23 @@ class ProposalVolumeSampler(nn.Module):
 
             if self.disable_integration:
                 gaussians = (gaussians[0], jnp.zeros_like(gaussians[1]))
+
+            if self.use_sample_network and is_last:
+                # Learned sample refinement (sampling.py:389-406): offset the
+                # final level's sample points by the eased network prediction.
+                sh = gaussians[0].shape
+                ones = jnp.ones_like(gaussians[0])
+                offsets = self.sample_net(
+                    train_frac,
+                    gaussians[0].reshape(-1, 3),
+                    (rays.origins[..., None, :] * ones).reshape(-1, 3),
+                    (rays.viewdirs[..., None, :] * ones).reshape(-1, 3),
+                    (rays.cam_idx[..., None, :1] * jnp.ones_like(ones[..., :1])).reshape(-1, 1),
+                )
+                gaussians = (
+                    gaussians[0] + offsets["point_offset"].reshape(sh),
+                    gaussians[1],
+                )
 
             key, rng = jaxutil.random_split(rng)
             ray_results = mlp(

@@ -90,3 +90,58 @@ def test_draw_transients():
     gt = rng.rand(96, 96, 32, 3)
     img = vis.draw_transients(gt, gt * 0.9, indirect=gt * 0.1)
     assert img.ndim == 3 and img.shape[-1] == 3 and np.isfinite(img).all()
+
+
+def test_sample_network_in_sampler():
+    """use_sample_network refines final-level sample points with the learned
+    eased offsets (sample_net_utils.py parity)."""
+    import functools
+    import jax
+    from neural_radiance_caching_tpu.engine.configs import Config
+    from neural_radiance_caching_tpu.models.nerf_model import NeRFModel
+    from neural_radiance_caching_tpu.ops import coord
+    from neural_radiance_caching_tpu.utils import pytrees
+    import sys
+    sys.path.insert(0, "tests")
+    from test_material_model import MLP, SLF, STRATEGY, TINY_GRID
+
+    config = Config(near=0.2, far=6.0, mask_lossmult=False,
+                    dataset_loader="synthetic_spheres", linear_to_srgb=True)
+    model = NeRFModel(
+        config=config,
+        sampler_params={
+            "sampling_strategy": STRATEGY,
+            "mlp_params_per_level": (MLP, MLP, MLP),
+            "grid_params_per_level": (TINY_GRID, TINY_GRID, TINY_GRID),
+            "dilation_bias": 0.0, "dilation_multiplier": 0.0, "raydist_fn": None,
+            "use_sample_network": True,
+        },
+        shader_params={
+            "net_depth": 0, "net_width": 8, "bottleneck_width": 8,
+            "use_grid": True, "grid_params": TINY_GRID,
+            "warp_fn": coord.contract_radius_2,
+            "use_reflections": False, "use_ambient": True, "use_indirect": False,
+            "use_active": False, "surface_lf_params": SLF,
+            "net_depth_integrated_brdf": 1, "net_width_integrated_brdf": 8,
+            "net_depth_brdf": 1, "net_width_brdf": 8,
+            "net_depth_irradiance": 1, "net_width_irradiance": 8,
+        },
+        train_sampling_strategy=STRATEGY,
+        render_sampling_strategy=STRATEGY,
+    )
+    rays = pytrees.dummy_rays(4)
+    v = jax.jit(functools.partial(model.init, train_frac=1.0, train=True))(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1), rays
+    )
+    assert "SampleNetwork" in v["params"]["Sampler"]
+    out = model.apply(v, jax.random.PRNGKey(2), rays, train_frac=0.5, train=True)
+    assert np.isfinite(np.asarray(out["render"]["rgb"])).all()
+
+    def loss(vv):
+        o = model.apply(vv, jax.random.PRNGKey(2), rays, train_frac=0.5, train=True)
+        return np.asarray(o["render"]["rgb"]).sum() if False else o["render"]["rgb"].sum()
+
+    import jax as _jax
+    g = _jax.jit(_jax.grad(loss))(v)
+    leaves = _jax.tree_util.tree_leaves(g["params"]["Sampler"]["SampleNetwork"])
+    assert all(np.isfinite(x).all() for x in leaves)
