@@ -114,6 +114,39 @@ def transform_poses_pca(poses):
     return poses_recentered, transform
 
 
+def focus_point_fn(poses):
+    """Least-squares point minimizing distance to all cameras' z-axes."""
+    directions = poses[:, :3, 2:3]
+    origins = poses[:, :3, 3:4]
+    m = np.eye(3) - directions * np.transpose(directions, [0, 2, 1])
+    mt_m = np.transpose(m, [0, 2, 1]) @ m
+    return np.linalg.inv(mt_m.mean(0)) @ (mt_m @ origins).mean(0)[:, 0]
+
+
+def transform_poses_focus(poses):
+    """Recenter on the cameras' mutual focus point, average-up as +z
+    (camera_utils.transform_poses_focus parity)."""
+    focus = focus_point_fn(poses)
+    up = poses[:, :3, 1].mean(0)
+    up = up / np.linalg.norm(up)
+    # Rotation taking `up` to +z.
+    z = np.array([0.0, 0.0, 1.0])
+    v = np.cross(up, z)
+    s = np.linalg.norm(v)
+    c = up @ z
+    if s < 1e-8:
+        rot = np.eye(3) if c > 0 else np.diag(np.array([1.0, -1.0, -1.0]))
+    else:
+        vx = np.array(
+            [[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]]
+        )
+        rot = np.eye(3) + vx + vx @ vx * ((1 - c) / s**2)
+    transform = np.concatenate([rot, rot @ -focus[:, None]], -1)
+    out = unpad_poses(pad_poses(transform[None])[0] @ pad_poses(poses))
+    transform = np.concatenate([transform, np.eye(4)[3:]], axis=0)
+    return out, transform
+
+
 def generate_ellipse_path(poses, n_frames=120, z_variation=0.0, z_phase=0.0,
                           lock_up=False, relative_to_first_pose=False,
                           flip_y=False, first_pose=None):

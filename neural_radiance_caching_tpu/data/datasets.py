@@ -50,9 +50,12 @@ def load_dataset(split, data_dir, config, **kwargs):
         "glossy_real": GlossyReal,
         "glossy_synthetic": GlossySynthetic,
         "llff": LLFF,
+        "tat_nerfpp": TanksAndTemplesNerfPP,
+        "tat_fvs": TanksAndTemplesFVS,
+        "dtu": DTU,
         "synthetic_spheres": SyntheticSpheres,
     }
-    not_yet = ("tat_nerfpp", "tat_fvs", "dtu", "pixelrig", "rtmv", "aerial")
+    not_yet = ("rtmv", "aerial", "pixelrig")
     if config.dataset_loader in not_yet:
         raise NotImplementedError(
             f"dataset_loader={config.dataset_loader!r} is not implemented yet"
@@ -1443,6 +1446,126 @@ class FIPTSynthetic(FIPTReal):
         self.distortion_params = distortions
         self.camtype = camtype
         self._load_fipt_images(config, nameprefixes)
+
+
+class TanksAndTemplesNerfPP(Dataset):
+    """Tanks & Temples (NeRF++ layout): per-image pose/intrinsics txt files
+    (datasets.py:3297-3337)."""
+
+    def _load_renderings(self, config):
+        split_str = "camera_path" if config.render_path else (
+            "train" if self.split == "train" else "test"
+        )
+        basedir = os.path.join(self.data_dir, split_str)
+
+        def load_files(dirname, load_fn, shape=None):
+            d = os.path.join(basedir, dirname)
+            files = [os.path.join(d, f) for f in sorted(os.listdir(d))]
+            mats = np.array([load_fn(f) for f in files])
+            return mats.reshape(mats.shape[:1] + shape) if shape else mats
+
+        poses = load_files("pose", np.loadtxt, (4, 4))
+        poses = np.matmul(poses, np.diag([1.0, -1, -1, 1]))
+        intrinsics = load_files("intrinsics", np.loadtxt, (4, 4))
+        self.images = (
+            load_files("rgb", lambda f: io_lib.load_img(f)) / 255.0
+        )[..., :3].astype(np.float32)
+        self.camtoworlds = poses[:, :3, :4].astype(np.float32)
+        self.pixtocams = np.linalg.inv(intrinsics)[..., :3, :3].astype(np.float32)
+
+
+class TanksAndTemplesFVS(Dataset):
+    """Tanks & Temples (Free View Synthesis layout): ibr3d image pyramids +
+    Ks/Rs/ts npy cameras (datasets.py:3340-3402)."""
+
+    def _load_renderings(self, config):
+        basedir = os.path.join(self.data_dir, "dense")
+        sizes = sorted(
+            f for f in os.listdir(basedir) if f.startswith("ibr3d")
+        )[::-1]
+        if config.factor >= len(sizes):
+            raise ValueError(f"Factor {config.factor} larger than {len(sizes)}")
+        basedir = os.path.join(basedir, sizes[config.factor])
+
+        files = sorted(f for f in os.listdir(basedir) if f.startswith("im_"))
+        images = np.array(
+            [io_lib.load_img(os.path.join(basedir, f)) for f in files]
+        ) / 255.0
+
+        intrinsics = np.load(os.path.join(basedir, "Ks.npy"))
+        rot = np.load(os.path.join(basedir, "Rs.npy"))
+        trans = np.load(os.path.join(basedir, "ts.npy"))
+        w2c = np.concatenate([rot, trans[..., None]], axis=-1)
+        c2w_colmap = np.linalg.inv(camera_utils.pad_poses(w2c))[:, :3, :4]
+        c2w = c2w_colmap @ np.diag([1.0, -1, -1, 1])
+        poses, _ = camera_utils.transform_poses_pca(c2w)
+
+        all_indices = np.arange(images.shape[0])
+        test = all_indices % config.llffhold == 0
+        indices = all_indices[~test] if self.split == "train" else all_indices[test]
+        self.images = images[indices][..., :3].astype(np.float32)
+        self.camtoworlds = poses[indices].astype(np.float32)
+        self.pixtocams = np.linalg.inv(intrinsics)[..., :3, :3].astype(np.float32)
+        if self.pixtocams.shape[0] == images.shape[0]:
+            self.pixtocams = self.pixtocams[indices]
+
+
+class DTU(Dataset):
+    """DTU MVS scans: projection-matrix decomposition per view
+    (datasets.py:3405-3480)."""
+
+    def _load_renderings(self, config):
+        import cv2
+
+        def load_image(i):
+            if config.dtu_light_cond < 7:
+                light_str = f"{config.dtu_light_cond}_r" + (
+                    "5000" if i < 50 else "7000"
+                )
+            else:
+                light_str = "max"
+            image = io_lib.load_img(
+                os.path.join(self.data_dir, f"rect_{i:03d}_{light_str}.png")
+            ) / 255.0
+            if config.factor > 1:
+                image = io_lib.downsample(image, config.factor)
+            projection = np.loadtxt(
+                os.path.join(
+                    self.data_dir, f"../../Calibration/cal18/pos_{i:03d}.txt"
+                ),
+                dtype=np.float32,
+            )
+            camera_mat, rot_mat, t = cv2.decomposeProjectionMatrix(projection)[:3]
+            camera_mat = camera_mat / camera_mat[2, 2]
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, :3] = rot_mat.transpose()
+            pose[:3, 3] = (t[:3] / t[3])[:, 0]
+            if config.factor > 0:
+                camera_mat = (
+                    np.diag([1.0 / config.factor, 1.0 / config.factor, 1.0]).astype(
+                        np.float32
+                    )
+                    @ camera_mat
+                )
+            return image, pose[:3], np.linalg.inv(camera_mat)
+
+        n_images = len(os.listdir(self.data_dir)) // 8
+        images, camtoworlds, pixtocams = zip(
+            *[load_image(i) for i in range(1, n_images + 1)]
+        )
+        images = np.stack(images)
+        camtoworlds = np.stack(camtoworlds) @ np.diag([1.0, -1, -1, 1]).astype(
+            np.float32
+        )
+        camtoworlds, _ = camera_utils.transform_poses_focus(camtoworlds)
+        camtoworlds[:, :3, -1] /= np.max(np.abs(camtoworlds[:, :3, -1]))
+
+        all_indices = np.arange(images.shape[0])
+        test = all_indices % config.llffhold == 0
+        indices = all_indices[~test] if self.split == "train" else all_indices[test]
+        self.images = images[indices][..., :3].astype(np.float32)
+        self.camtoworlds = camtoworlds[indices].astype(np.float32)
+        self.pixtocams = np.stack(pixtocams)[indices].astype(np.float32)
 
 
 # --- procedural test scene -------------------------------------------------------------

@@ -73,6 +73,10 @@ class Config:
     forward_facing: bool = False
     render_path: bool = False
     llffhold: int = 8
+    dtu_light_cond: int = 2
+    render_path_frames: int = 120
+    z_variation: float = 0.0
+    z_phase: float = 0.0
     llff_use_all_images_for_training: bool = False
     use_tiffs: bool = False
     use_exrs: bool = False

@@ -253,3 +253,33 @@ def test_fipt_real_cam_parsing(tmp_path):
     p.write_text("\n".join(lines))
     parsed = read_cam_params_fipt(str(p))
     assert len(parsed) == 3 and parsed[0].shape == (3, 3)
+
+
+def test_tat_nerfpp_loader(tmp_path):
+    d = tmp_path / "tat"
+    res, n = 8, 3
+    for sub in ("pose", "intrinsics", "rgb"):
+        os.makedirs(d / "train" / sub)
+    K = np.eye(4); K[0, 0] = K[1, 1] = 10.0; K[0, 2] = K[1, 2] = res / 2
+    for i in range(n):
+        pose = np.eye(4); pose[:3, :4] = _pose(i, n)
+        np.savetxt(d / "train" / "pose" / f"{i:04d}.txt", pose)
+        np.savetxt(d / "train" / "intrinsics" / f"{i:04d}.txt", K)
+        _write_png(str(d / "train" / "rgb" / f"{i:04d}.png"),
+                   np.random.RandomState(i).rand(res, res, 3))
+    config = Config(dataset_loader="tat_nerfpp", near=0.1, far=5.0, batch_size=8,
+                    linear_to_srgb=True)
+    ds = datasets.load_dataset("train", str(d), config)
+    batch = ds.next_train()
+    assert batch.rgb.shape == (8, 3)
+    assert np.isfinite(batch.rays.directions).all()
+
+
+def test_transform_poses_focus():
+    poses = camera_utils.generate_spherical_poses(6, radius=3.0, seed=2)
+    out, tform = camera_utils.transform_poses_focus(poses)
+    # The focus point (origin of the new frame) is near the scene center.
+    assert np.linalg.norm(out[:, :3, 3], axis=-1).max() < 5.0
+    back = camera_utils.unpad_poses(
+        np.linalg.inv(tform) @ camera_utils.pad_poses(out))
+    np.testing.assert_allclose(back, poses, atol=1e-4)
