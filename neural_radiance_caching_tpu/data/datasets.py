@@ -53,12 +53,16 @@ def load_dataset(split, data_dir, config, **kwargs):
         "tat_nerfpp": TanksAndTemplesNerfPP,
         "tat_fvs": TanksAndTemplesFVS,
         "dtu": DTU,
+        "rtmv": RTMV,
         "synthetic_spheres": SyntheticSpheres,
     }
-    not_yet = ("rtmv", "aerial", "pixelrig")
+    # PixelRig/Aerial depend on Google-internal vision_sfm camera protos
+    # (reference datasets.py:3514, 3687) that have no public equivalent.
+    not_yet = ("aerial", "pixelrig")
     if config.dataset_loader in not_yet:
         raise NotImplementedError(
-            f"dataset_loader={config.dataset_loader!r} is not implemented yet"
+            f"dataset_loader={config.dataset_loader!r} requires internal "
+            "vision_sfm camera protos with no public format"
         )
     return loaders[config.dataset_loader](split, data_dir, config, **kwargs)
 
@@ -1566,6 +1570,49 @@ class DTU(Dataset):
         self.images = images[indices][..., :3].astype(np.float32)
         self.camtoworlds = camtoworlds[indices].astype(np.float32)
         self.pixtocams = np.stack(pixtocams)[indices].astype(np.float32)
+
+
+class RTMV(Dataset):
+    """RTMV ray-traced multi-view scenes: per-frame EXR + camera JSON
+    (datasets.py:3575-3658). No train/test split in the dataset itself."""
+
+    def _load_renderings(self, config):
+        filenames = sorted(os.listdir(self.data_dir))
+        image_filenames = [
+            f for f in filenames
+            if f.endswith(".exr")
+            and not f.endswith(".depth.exr")
+            and not f.endswith(".seg.exr")
+        ]
+        camera_filenames = [f for f in filenames if f.endswith(".json")]
+        assert len(image_filenames) == len(camera_filenames)
+
+        images, poses = [], []
+        camera_data = None
+        for image_f, camera_f in zip(image_filenames, camera_filenames):
+            channels = io_lib.load_exr(os.path.join(self.data_dir, image_f))
+            if config.factor > 1:
+                channels = io_lib.downsample(channels, config.factor)
+            images.append(image_ops.linear_to_srgb(channels))
+            with open(os.path.join(self.data_dir, camera_f)) as fp:
+                camera_data = json.load(fp)["camera_data"]
+            poses.append(np.array(camera_data["cam2world"]).T[:3, :4])
+
+        self.images = np.stack(images, axis=0)
+        rgb = self.images[..., :3]
+        alpha = (
+            self.images[..., -1:]
+            if self.images.shape[-1] == 4
+            else np.ones_like(rgb[..., :1])
+        )
+        self.images = (rgb * alpha).astype(np.float32)
+        self.masks = alpha.astype(np.float32)
+        h, w = self.images.shape[1:3]
+        focal = float(camera_data["intrinsics"]["fx"]) / max(config.factor, 1)
+        self.pixtocams = camera_utils.get_pixtocam(focal, w, h)[None].astype(
+            np.float32
+        )
+        self.camtoworlds = np.stack(poses, axis=0).astype(np.float32)
 
 
 # --- procedural test scene -------------------------------------------------------------

@@ -23,9 +23,16 @@ def load_img(path, is_16bit=False):
 
 
 def load_exr(path):
-    import imageio.v2 as imageio
+    # No EXR library ships in this environment; use the built-in scanline
+    # codec (data/exr.py). imageio is tried first in case a plugin exists.
+    try:
+        import imageio.v2 as imageio
 
-    return np.asarray(imageio.imread(path), dtype=np.float32)
+        return np.asarray(imageio.imread(path), dtype=np.float32)
+    except Exception:
+        from neural_radiance_caching_tpu.data import exr
+
+        return exr.read_exr(path)
 
 
 def read_h5(path):
