@@ -1325,9 +1325,10 @@ class LLFF(Dataset):
             )
             poses = poses[:, :3, :4]
         else:
-            raise NotImplementedError(
-                "LLFF requires llff_load_from_poses_bounds or "
-                "load_ngp_format_poses (COLMAP binary parsing TBD)"
+            from neural_radiance_caching_tpu.data import colmap
+
+            image_names, poses, pixtocams, distortions, camtype = (
+                colmap.load_colmap_posedata(self.data_dir)
             )
 
         if config.load_alphabetical:

@@ -368,3 +368,37 @@ def test_exr_codec_roundtrip_and_zip(tmp_path):
     p2 = str(tmp_path / "b.exr")
     open(p2, "wb").write(bytes(new))
     np.testing.assert_array_equal(exr.read_exr(p2), img)
+
+
+def test_colmap_binary_roundtrip(tmp_path):
+    """Write a spec-conformant cameras.bin/images.bin pair and parse it."""
+    import struct
+
+    from neural_radiance_caching_tpu.data import colmap
+
+    d = tmp_path / "scene" / "sparse" / "0"
+    os.makedirs(d)
+    # cameras.bin: one PINHOLE camera.
+    with open(d / "cameras.bin", "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 1, 8, 6))
+        f.write(struct.pack("<4d", 10.0, 11.0, 4.0, 3.0))
+    # images.bin: two images with identity-ish poses.
+    with open(d / "images.bin", "wb") as f:
+        f.write(struct.pack("<Q", 2))
+        for i, name in ((1, b"b.png"), (2, b"a.png")):
+            f.write(struct.pack("<idddddddi", i, 1.0, 0, 0, 0, 0.1 * i, 0, 0, 1))
+            f.write(name + b"\x00")
+            f.write(struct.pack("<Q", 1))
+            f.write(struct.pack("<ddq", 1.0, 2.0, -1))  # one 2D point (24 bytes)
+    names, poses, pixtocams, dist, camtype = colmap.load_colmap_posedata(
+        str(tmp_path / "scene")
+    )
+    assert names == ["a.png", "b.png"]  # sorted by name
+    assert poses.shape == (2, 3, 4) and np.isfinite(poses).all()
+    # Intrinsics invert correctly: pixtocam @ K = I.
+    K = camera_utils.intrinsic_matrix(10.0, 11.0, 4.0, 3.0)
+    np.testing.assert_allclose(pixtocams[0] @ K, np.eye(3), atol=1e-6)
+    assert dist is None
+    # Identity rotation w2c with t=(0.2,0,0) -> camera origin at -0.2.
+    np.testing.assert_allclose(poses[0][:, 3], [-0.2, 0, 0], atol=1e-6)
