@@ -402,3 +402,36 @@ def test_colmap_binary_roundtrip(tmp_path):
     assert dist is None
     # Identity rotation w2c with t=(0.2,0,0) -> camera origin at -0.2.
     np.testing.assert_allclose(poses[0][:, 3], [-0.2, 0, 0], atol=1e-6)
+
+
+def test_raw_utils_demosaic_and_affine():
+    from neural_radiance_caching_tpu.data import raw_utils
+
+    # A constant-color scene must demosaic to itself.
+    rgb = np.array([0.2, 0.5, 0.8], np.float32)
+    h = w = 8
+    bayer = np.zeros((h, w), np.float32)
+    bayer[0::2, 0::2] = rgb[0]
+    bayer[0::2, 1::2] = rgb[1]
+    bayer[1::2, 0::2] = rgb[1]
+    bayer[1::2, 1::2] = rgb[2]
+    out = raw_utils.bilinear_demosaic(bayer)
+    assert out.shape == (h, w, 3)
+    np.testing.assert_allclose(out[2:-2, 2:-2], np.broadcast_to(rgb, out[2:-2, 2:-2].shape), atol=1e-6)
+
+    # Bayer mask covers each pixel exactly once.
+    px, py = np.meshgrid(np.arange(4), np.arange(4), indexing="xy")
+    mask = raw_utils.pixels_to_bayer_mask(px, py)
+    np.testing.assert_array_equal(mask.sum(-1), np.ones_like(mask.sum(-1)))
+
+    # Affine matching inverts a known affine map.
+    rng = np.random.RandomState(0)
+    gt = rng.rand(16, 16, 3)
+    est = gt * 2.5 + 0.3
+    matched = raw_utils.match_images_affine(est, gt)
+    np.testing.assert_allclose(matched, gt, atol=1e-6)
+
+    # postprocess_raw maps the exposure level to white.
+    raw = np.full((4, 4, 3), 0.5, np.float32)
+    srgb = raw_utils.postprocess_raw(raw, np.eye(3), exposure=0.5)
+    np.testing.assert_allclose(srgb, np.ones_like(srgb), atol=1e-6)
