@@ -145,3 +145,31 @@ def test_sample_network_in_sampler():
     g = _jax.jit(_jax.grad(loss))(v)
     leaves = _jax.tree_util.tree_leaves(g["params"]["Sampler"]["SampleNetwork"])
     assert all(np.isfinite(x).all() for x in leaves)
+
+
+def test_local_color_correction_and_shift_invariant_metrics():
+    import jax.numpy as jnp
+    from neural_radiance_caching_tpu.ops import image as im
+
+    rng = np.random.RandomState(0)
+    a = jnp.array(rng.rand(24, 20, 3), np.float32)
+    # A global affine color shift must be nearly fully corrected.
+    b = jnp.clip(a * 0.7 + 0.1, 0, 1)
+    fixed = im.correct_local_color(
+        b, a, num_spatial_bins=(2, 2), num_luma_bins=4, num_chroma_bins=2)
+    assert float(jnp.abs(a - fixed).mean()) < 0.01
+
+    # A 1-pixel shift is mostly recovered by the shift-invariant metric.
+    shifted = jnp.roll(a, 1, 0)
+    mse_plain = float(jnp.mean((shifted - a) ** 2))
+    mse_si, _, _ = im.shift_invariant_mse(shifted, a, (2, 2), 3)
+    assert float(mse_si) < mse_plain * 0.2
+
+    ssim_si, _, _ = im.shift_invariant_ssim(shifted, a, (2, 2), 3)
+    assert np.isfinite(float(ssim_si))
+
+    # Vignette is 1 at the center, <1 off axis.
+    coords = np.array([[0.0, 0.0], [0.7, 0.7]])
+    w = np.ones((3, 1))
+    v = np.asarray(im.compute_vignette(coords, w))
+    assert v[0] == 1.0 and v[1] < 1.0
