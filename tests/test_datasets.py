@@ -435,3 +435,28 @@ def test_raw_utils_demosaic_and_affine():
     raw = np.full((4, 4, 3), 0.5, np.float32)
     srgb = raw_utils.postprocess_raw(raw, np.eye(3), exposure=0.5)
     np.testing.assert_allclose(srgb, np.ones_like(srgb), atol=1e-6)
+
+
+def test_procrustes_alignment_recovers_similarity():
+    from neural_radiance_caching_tpu.data import alignment
+
+    rng = np.random.RandomState(0)
+    gt = camera_utils.generate_spherical_poses(8, radius=3.0, seed=5)
+    # Apply a known similarity: rotation about z + scale + translation.
+    th = 0.7
+    rot = np.array([[np.cos(th), -np.sin(th), 0],
+                    [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+    scale, trans = 1.8, np.array([0.3, -0.2, 1.1])
+    opt = gt.copy()
+    opt[:, :3, :3] = rot @ gt[:, :3, :3]
+    opt[:, :3, 3] = scale * (gt[:, :3, 3] @ rot.T) + trans
+
+    test_gt = camera_utils.generate_spherical_poses(4, radius=3.0, seed=6)
+    aligned_train, aligned_test = alignment.compute_procrustes_aligned_poses(
+        opt, gt, test_gt)
+    # Train GT poses land exactly on the optimized poses.
+    np.testing.assert_allclose(aligned_train[:, :3, 3], opt[:, :3, 3], atol=1e-5)
+    np.testing.assert_allclose(aligned_train[:, :3, :3], opt[:, :3, :3], atol=1e-5)
+    # Test poses receive the same transform.
+    expected = scale * (test_gt[:, :3, 3] @ rot.T) + trans
+    np.testing.assert_allclose(aligned_test[:, :3, 3], expected, atol=1e-5)
