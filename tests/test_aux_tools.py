@@ -173,3 +173,25 @@ def test_local_color_correction_and_shift_invariant_metrics():
     w = np.ones((3, 1))
     v = np.asarray(im.compute_vignette(coords, w))
     assert v[0] == 1.0 and v[1] < 1.0
+
+
+def test_sensor_responses():
+    import sys
+    sys.path.insert(0, "scripts")
+    import sensor_responses as sr
+
+    rng = np.random.RandomState(0)
+    data = rng.rand(4, 5, 32, 3).astype(np.float32)
+    pulse = sr.gaussian_pulse(2.0)
+    np.testing.assert_allclose(pulse.sum(), 1.0, rtol=1e-6)
+    out = sr.apply_pulse_response(data, pulse)
+    assert out.shape == data.shape
+    # Energy is conserved away from the boundaries (unit-sum kernel).
+    np.testing.assert_allclose(out.sum(2), data.sum(2), rtol=0.15)
+
+    itof = sr.apply_cw_tof_response(data, [0.0, np.pi / 2], frequency=3.0,
+                                    exposure_time=0.05)
+    assert itof.shape == (4, 5, 2, 3)
+
+    steady = sr.apply_constant_response(data)
+    np.testing.assert_allclose(steady, data.sum(2), rtol=1e-6)
