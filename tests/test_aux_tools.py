@@ -195,3 +195,25 @@ def test_sensor_responses():
 
     steady = sr.apply_constant_response(data)
     np.testing.assert_allclose(steady, data.sum(2), rtol=1e-6)
+
+
+def test_make_transforms(tmp_path):
+    import sys
+    sys.path.insert(0, "scripts")
+    import make_transforms as mt
+
+    meta = mt.transforms_spiral([3, 0, 1], [0, 3, 1], [0, 0, 0], 16)
+    assert len(meta["frames"]) == 16
+    for f in meta["frames"]:
+        m = np.array(f["transform_matrix"])
+        # Orthonormal rotation, camera looks at the origin (-z toward target).
+        np.testing.assert_allclose(m[:3, :3] @ m[:3, :3].T, np.eye(3), atol=1e-8)
+        to_target = -m[:3, 3] / np.linalg.norm(m[:3, 3])
+        np.testing.assert_allclose(-m[:3, 2], to_target, atol=0.3)
+
+    grid = mt.transforms_rot_stage(3, 4, 10.0, 12.0, [3, 0, 1], [0, 0, 0])
+    assert len(grid["frames"]) == 12
+    train, test = mt.save_train_test_json(meta, str(tmp_path), test_every=4)
+    assert len(test["frames"]) == 4 and len(train["frames"]) == 12
+    import os as _os
+    assert _os.path.exists(tmp_path / "transforms_train.json")
