@@ -309,47 +309,58 @@ def _make_encode_vjp(statics):
             x, x_scale, grid_sizes, table_size, dense_offsets, interpolation
         )
 
+        # Both scatters stream ONE packed cotangent row per (point, level) and
+        # fold the per-corner weight multiply into the kernel
+        # (scatter_add_weighted_leveled) — no per-update row materialization,
+        # no broadcast/transpose/copy chain on the XLA side.
+        tile = 8192
+        corners = d_w.shape[-1] if d_w is not None else h_w.shape[-1]
+
+        def weighted_scatter(idx_l, w_l, ct_l, num_rows, f):
+            # idx_l/w_l: [L, P*U] (corners fastest); ct_l: [L, P, F].
+            p = ct_l.shape[1]
+            pad_p = (-p) % (tile // corners)
+            if pad_p:
+                # Padded updates have zero weight and scatter into row 0.
+                idx_l = jnp.pad(idx_l, ((0, 0), (0, pad_p * corners)))
+                w_l = jnp.pad(w_l, ((0, 0), (0, pad_p * corners)))
+                ct_l = jnp.pad(ct_l, ((0, 0), (0, pad_p), (0, 0)))
+            cp = ct_l.reshape(
+                ct_l.shape[0], (p + pad_p) * f // scatter_tpu.LANES,
+                scatter_tpu.LANES,
+            )
+            return scatter_tpu.scatter_add_weighted_leveled(
+                idx_l, w_l, cp, num_rows=num_rows, features=f,
+                corners=corners, tile=tile,
+            )
+
         d_tables = None
         if num_dense:
-            # [.., M, Ld, 8] weights x [.., M, Ld, F] ct -> per-corner rows.
-            rows = d_w[..., None] * ct_pm[..., :num_dense, None, :]
-            flat_idx = d_idx.reshape(-1)
-            flat_rows = rows.reshape(-1, rows.shape[-1])
+            f_d = dense_pool.shape[-1]
             total = dense_pool.shape[0]
-            pad_rows = (-total) % (scatter_tpu.LANES // dense_pool.shape[-1])
-            d_tables = scatter_tpu.scatter_add_rows_padded(
-                flat_idx,
-                flat_rows,
+            slots = scatter_tpu.LANES // f_d
+            pad_rows = (-total) % slots
+            # Treat each (point, dense level) pair as one weighted point; the
+            # flat-pool offsets are already folded into d_idx.
+            d_tables = weighted_scatter(
+                d_idx.reshape(1, -1),
+                d_w.reshape(1, -1),
+                ct_pm[..., :num_dense, :].reshape(1, -1, f_d),
                 num_rows=total + pad_rows,
-                features=dense_pool.shape[-1],
-            )[:total]
+                f=f_d,
+            )[0][:total]
 
         h_tables = None
         if num_hash:
             f_h = hash_tables.shape[-1]
-            rows = h_w[..., None] * ct_pm[..., num_dense:, None, :]
-            # [.., M, Lh, 8, F] -> [Lh, N8, F]
-            rows_l = jnp.moveaxis(rows, -3, 0).reshape(num_hash, -1, f_h)
-            idx_l = jnp.moveaxis(h_idx, -2, 0).reshape(num_hash, -1)
-            n = idx_l.shape[1]
-            tile = 8192
-            pad = (-n) % tile
-            if pad:
-                idx_l = jnp.pad(idx_l, ((0, 0), (0, pad)))
-                rows_l = jnp.pad(rows_l, ((0, 0), (0, pad), (0, 0)))
-                # Padded updates scatter zeros into row 0 - harmless.
-            n_padded = n + pad
-            # Stream gradients into the kernel PACKED (see scatter_tpu): a
-            # contiguous reshape, so no 32x lane-padded [N, F] buffer exists.
-            rows_packed = rows_l.reshape(
-                num_hash, n_padded * f_h // scatter_tpu.LANES, scatter_tpu.LANES
-            )
-            h_tables = scatter_tpu.scatter_add_rows_leveled(
-                idx_l,
-                rows_packed,
+            h_tables = weighted_scatter(
+                jnp.moveaxis(h_idx, -2, 0).reshape(num_hash, -1),
+                jnp.moveaxis(h_w, -2, 0).reshape(num_hash, -1),
+                jnp.moveaxis(ct_pm[..., num_dense:, :], -2, 0).reshape(
+                    num_hash, -1, f_h
+                ),
                 num_rows=table_size,
-                features=f_h,
-                tile=tile,
+                f=f_h,
             )
 
         # Gradients w.r.t. x and x_scale: recompute the forward with the

@@ -177,3 +177,121 @@ def scatter_add_rows_padded(idx, g, *, num_rows, features, banks=4, tile=8192):
 def scatter_fits_vmem(num_rows, features, banks=4, budget_bytes=100 * 2**20):
     """Whether the banked accumulator fits the VMEM budget (~128MB on v5e)."""
     return num_rows * features * 4 * banks <= budget_bytes
+
+
+def _scatter_weighted_kernel(features, corners, banks, tile, idx_ref, w_ref,
+                             cp_ref, *out_refs):
+    """Weighted scatter: update j adds w[j] * ct_row[j // corners].
+
+    Folds the per-corner (weight x cotangent-row) product into the kernel so
+    the caller streams ONE packed cotangent row per point instead of one
+    gradient row per update — 4-8x less gradient traffic and none of the
+    XLA-side broadcast/transpose/copy chain.
+
+    idx_ref: [tile] SMEM logical row indices (point-major, corners fastest).
+    w_ref:   [tile] SMEM f32 per-update interpolation weights.
+    cp_ref:  [tile//corners * F / 128, 128] VMEM packed per-point rows.
+    out_refs: banks x [1, T*F/128, 128] packed accumulator windows.
+    """
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        for o in out_refs:
+            o[:] = jnp.zeros_like(o)
+
+    slots = LANES // features  # points per packed cotangent row
+    points_per_tile = tile // corners
+    packed_ct_rows = points_per_tile * features // LANES
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+    def body(r, _):
+        cp = cp_ref[r, :].reshape(1, LANES)
+        for sp in range(slots):
+            keep = (lane >= sp * features) & (lane < (sp + 1) * features)
+            gmask = jnp.where(keep, cp, 0.0)
+            p = r * slots + sp
+            for u in range(corners):
+                j = p * corners + u
+                i = idx_ref[j]
+                b = i // slots
+                s = i - b * slots
+                groll = pltpu.roll(gmask, (s - sp) * features, 1)
+                out_refs[(sp * corners + u) % banks][0, b, :] += (
+                    w_ref[j] * groll[0]
+                )
+        return 0
+
+    jax.lax.fori_loop(0, packed_ct_rows, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_rows", "features", "corners", "banks", "tile",
+                     "interpret"),
+)
+def scatter_add_weighted_leveled(idx, w, ct_packed, *, num_rows, features,
+                                 corners, banks=4, tile=8192, interpret=False):
+    """Per-level weighted scatter-add: grads[l, idx[l,j]] += w[l,j] * ct[l, j//corners].
+
+    Args:
+      idx: [L, N] int32 row indices, N = points*corners (corners fastest).
+      w:   [L, N] float32 per-update weights.
+      ct_packed: [L, points*features/128, 128] packed per-point cotangents.
+      num_rows/features/corners: table height, row width, updates per point.
+
+    Returns [L, num_rows, features] float32.
+    """
+    if LANES % features:
+        raise ValueError(f"features={features} must divide {LANES}")
+    slots = LANES // features
+    if num_rows % slots:
+        raise ValueError(f"num_rows={num_rows} must be a multiple of {slots}")
+    if tile % (corners * slots):
+        raise ValueError(f"tile={tile} must be a multiple of {corners * slots}")
+    levels, n = idx.shape
+    if n % tile:
+        raise ValueError(f"N={n} must be a multiple of tile={tile}")
+    packed_rows = num_rows * features // LANES
+    points_per_tile = tile // corners
+    packed_ct_per_tile = points_per_tile * features // LANES
+    tiles_per_level = n // tile
+
+    idx_flat = idx.reshape(levels * n).astype(jnp.int32)
+    w_flat = w.reshape(levels * n).astype(jnp.float32)
+    cp_flat = ct_packed.reshape(-1, LANES)
+
+    kern = functools.partial(_scatter_weighted_kernel, features, corners, banks, tile)
+    outs = pl.pallas_call(
+        kern,
+        grid=(levels, tiles_per_level),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((levels, packed_rows, LANES), jnp.float32)
+            for _ in range(banks)
+        ),
+        in_specs=[
+            pl.BlockSpec((tile,), lambda l, i, t=tiles_per_level: (l * t + i,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile,), lambda l, i, t=tiles_per_level: (l * t + i,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (packed_ct_per_tile, LANES),
+                lambda l, i, t=tiles_per_level: (l * t + i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((1, packed_rows, LANES), lambda l, i: (l, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(banks)
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 2**20,
+        ),
+        interpret=interpret,
+    )(idx_flat, w_flat, cp_flat)
+
+    acc = outs[0]
+    for o in outs[1:]:
+        acc = acc + o
+    return acc.reshape(levels, num_rows, features)

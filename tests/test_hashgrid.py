@@ -142,3 +142,27 @@ def test_custom_vjp_matches_xla_grads():
     )
     ref = jnp.stack([jnp.zeros((T, F)).at[idx[l]].add(g[l]) for l in range(L)])
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_weighted_scatter_kernel_interpret():
+    """scatter_add_weighted_leveled == dense one-hot reference (interpret)."""
+    import jax
+    import jax.numpy as jnp
+    from neural_radiance_caching_tpu.ops import scatter_tpu
+
+    rng = np.random.RandomState(0)
+    L, P, U, T, F = 2, 64, 4, 256, 4
+    tile = U * (128 // F) * 2  # small tile, multiple of corners*slots
+    idx = jnp.array(rng.randint(0, T, (L, P * U)), jnp.int32)
+    w = jnp.array(rng.rand(L, P * U), jnp.float32)
+    ct = jnp.array(rng.randn(L, P, F), jnp.float32)
+    cp = ct.reshape(L, P * F // 128, 128)
+    out = scatter_tpu.scatter_add_weighted_leveled(
+        idx, w, cp, num_rows=T, features=F, corners=U, tile=tile,
+        interpret=True,
+    )
+    ref = np.zeros((L, T, F), np.float32)
+    for l in range(L):
+        for j in range(P * U):
+            ref[l, int(idx[l, j])] += float(w[l, j]) * np.asarray(ct[l, j // U])
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
