@@ -105,6 +105,8 @@ def build_flagship_cache_model(config):
             "net_depth_irradiance": 2, "net_width_irradiance": 64,
             "skip_layer_irradiance": 2,
             "rgb_activation": jax.nn.softplus,
+            # Shader trunks in bf16 (heads re-accumulated in f32 by XLA).
+            "use_bf16_compute": True,
         },
         train_sampling_strategy=strategy,
         render_sampling_strategy=strategy,

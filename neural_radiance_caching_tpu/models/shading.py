@@ -62,13 +62,20 @@ class BaseShader(nn.Module):
 
     normals_target: str = "normals_to_use"
     backfacing_target: str = "normals_to_use"
+    use_bf16_compute: bool = False
     backfacing_noise: float = 0.0
     backfacing_noise_rate: float = float("inf")
     backfacing_near: float = 1e-1
 
     def _make_dense_layer_factory(self):
+        import jax.numpy as jnp
+
         return functools.partial(
-            nn.Dense, kernel_init=getattr(jax.nn.initializers, self.weight_init)()
+            nn.Dense,
+            kernel_init=getattr(jax.nn.initializers, self.weight_init)(),
+            # bf16 matmul compute (full-rate MXU); params/outputs stay f32 via
+            # the callers' output-layer handling.
+            dtype=jnp.bfloat16 if getattr(self, "use_bf16_compute", False) else None,
         )
 
     def _make_grid(self, name="appearance_grid"):
