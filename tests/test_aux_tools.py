@@ -217,3 +217,39 @@ def test_make_transforms(tmp_path):
     assert len(test["frames"]) == 4 and len(train["frames"]) == 12
     import os as _os
     assert _os.path.exists(tmp_path / "transforms_train.json")
+
+
+def test_mitsuba_create_xmls(tmp_path):
+    import json
+    import sys
+    from xml.etree import ElementTree
+    sys.path.insert(0, "scripts")
+    import mitsuba_create_xmls as mx
+
+    template = tmp_path / "template.xml"
+    template.write_text(
+        """<scene version="3.0.0">
+  <default name="spp" value="16"/>
+  <default name="resx" value="8"/>
+  <sensor type="perspective">
+    <transform name="to_world"><matrix value="1 0 0 0 0 1 0 0 0 0 1 0 0 0 0 1"/></transform>
+  </sensor>
+  <emitter type="projector">
+    <transform name="to_world"><matrix value="1 0 0 0 0 1 0 0 0 0 1 0 0 0 0 1"/></transform>
+  </emitter>
+</scene>"""
+    )
+    pose = np.eye(4); pose[:3, 3] = [1.0, 2.0, 3.0]
+    meta = {"frames": [{"file_path": "frames/r_0.h5",
+                        "transform_matrix": pose.tolist()}]}
+    jp = tmp_path / "transforms_test.json"
+    jp.write_text(json.dumps(meta))
+    out = mx.gen_xmls(str(template), str(jp), str(tmp_path / "xmls"), spp=32, res=4)
+    assert len(out) == 1
+    tree = ElementTree.parse(out[0])
+    matrices = [m.attrib["value"] for m in tree.getroot().iter("matrix")]
+    assert len(matrices) == 2 and matrices[0] == matrices[1]
+    vals = np.fromstring(matrices[0], sep=",").reshape(4, 4)
+    expected = mx.AX_FLIP @ pose
+    expected[:, 2] *= -1; expected[:, 0] *= -1
+    np.testing.assert_allclose(vals, expected, atol=1e-12)
