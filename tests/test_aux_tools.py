@@ -253,3 +253,20 @@ def test_mitsuba_create_xmls(tmp_path):
     expected = mx.AX_FLIP @ pose
     expected[:, 2] *= -1; expected[:, 0] *= -1
     np.testing.assert_allclose(vals, expected, atol=1e-12)
+
+
+def test_calibrate_light_recovers_ground_truth():
+    import sys
+    sys.path.insert(0, "scripts")
+    import calibrate_light as cl
+
+    rng = np.random.RandomState(0)
+    pts = rng.randn(500, 3) * 2
+    light = np.array([1.2, -4.5, 0.8])
+    shift = 7.3
+    depth = rng.rand(500) * 3 + 1
+    total = depth + shift + np.linalg.norm(pts - light, axis=-1)
+    x, err = cl.optimize_shift_light_pos(pts, depth, total)
+    np.testing.assert_allclose(x[0], shift, atol=1e-4)
+    np.testing.assert_allclose(x[1:], light, atol=1e-4)
+    assert err < 1e-6
