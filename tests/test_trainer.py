@@ -96,3 +96,46 @@ def test_stage_registry_covers_reference_stages():
     ):
         assert stage in stage_params, stage
         assert "extra_losses" in stage_params[stage]
+
+
+def test_hotdog_config_constructs_both_stages():
+    """The full-size scene config must parse and build the right param sets
+    through the Trainer's binding synthesis (abstract init, no compute)."""
+    import functools
+
+    import jax
+
+    from neural_radiance_caching_tpu.engine import configs as configs_lib
+    from neural_radiance_caching_tpu.engine.trainer import Trainer
+    from neural_radiance_caching_tpu.models import construct
+    from neural_radiance_caching_tpu.utils import pytrees
+
+    def build(stage, extra=()):
+        gin.clear_config()
+        configs_lib.load_config(
+            config_files=["configs/nerf_ngp_yobo_hotdog.gin"],
+            bindings=[
+                "Config.dataset_loader = 'synthetic_spheres'",
+                "Config.batch_size = 16",
+                "Config.near = 0.2",
+                f"Trainer.stage = '{stage}'",
+                *extra,
+            ],
+        )
+        trainer = Trainer()
+        trainer._setup_names()
+        trainer._setup_config_parameters()
+        trainer._setup_binding_configs()
+        model = construct.make_model(trainer.config)
+        shapes = jax.eval_shape(
+            functools.partial(model.init, train_frac=1.0, train=False),
+            jax.random.PRNGKey(0), jax.random.PRNGKey(1), pytrees.dummy_rays(2),
+        )
+        return sorted(shapes["params"].keys())
+
+    assert build("cache") == ["Cache"]
+    groups = build(
+        "material_light_from_scratch",
+        extra=["Trainer.resample = True", "Trainer.sample_factor = 1"],
+    )
+    assert {"Cache", "MaterialShader", "LightSampler"} <= set(groups)
