@@ -389,6 +389,17 @@ def _make_encode_vjp(statics):
 
 _ENCODE_VJP_CACHE = {}
 
+# When True, multires_grid_encode always takes the pure-XLA path even on a
+# process whose default backend is TPU. Needed when a computation is staged
+# onto non-TPU devices (e.g. the forced-host CPU mesh used by multi-chip dry
+# runs) while the TPU plugin is still the default platform.
+_FORCE_XLA_ENCODER = False
+
+
+def force_xla_encoder(value: bool = True) -> None:
+    global _FORCE_XLA_ENCODER
+    _FORCE_XLA_ENCODER = bool(value)
+
 
 def multires_grid_encode(
     x,
@@ -411,7 +422,8 @@ def multires_grid_encode(
     grid_sizes = tuple(int(s) for s in np.asarray(grid_sizes).tolist())
     dense_offsets = tuple(int(o) for o in dense_offsets)
     use_kernel = (
-        jax.default_backend() == "tpu"
+        not _FORCE_XLA_ENCODER
+        and jax.default_backend() == "tpu"
         and multisample_reduce in ("mean", "concat")
         and (hash_tables is None or LANES_OK(hash_tables.shape[-1]))
         and (dense_pool is None or LANES_OK(dense_pool.shape[-1]))

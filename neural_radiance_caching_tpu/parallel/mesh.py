@@ -19,9 +19,20 @@ DATA_AXIS = "data"
 
 
 def create_mesh(devices=None) -> Mesh:
-    """1D data-parallel mesh over all (or the given) devices."""
+    """1D data-parallel mesh over all (or the given) devices.
+
+    When the mesh lives on non-TPU devices (e.g. the forced-host CPU mesh
+    used for multi-chip dry runs while a real TPU plugin is still
+    registered), the Pallas encoder path cannot lower — switch the fused
+    encoder to its pure-XLA fallback globally.
+    """
     if devices is None:
         devices = jax.devices()
+    devices = list(devices)
+    if devices and devices[0].platform != "tpu":
+        from neural_radiance_caching_tpu.ops import hashgrid
+
+        hashgrid.force_xla_encoder(True)
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
