@@ -4,10 +4,12 @@ Behavioral parity target: reference evaluation/run_evaluation.py — computes
 PSNR/SSIM (and LPIPS when weights are available) between two directories of
 saved .npy images and prints per-image + mean values.
 
-The reference computes LPIPS via a vendored TF1 lpips_tf + E-LPIPS; neither
-TF1 nor pretrained VGG weights exist in this environment, so LPIPS is gated:
-pass --lpips_weights to a compatible weights file to enable it, otherwise it
-is reported as disabled (MetricHarness has the same gate).
+LPIPS/E-LPIPS run through the pure-JAX implementation in
+neural_radiance_caching_tpu/ops/lpips.py (replacing the reference's TF1
+lpips_tf + evaluation/elpips). Calibrated VGG weights are searched at the
+documented paths (NRC_LPIPS_WEIGHTS env var, ~/.cache/..., <repo>/weights/);
+pass --lpips_weights to point at a specific .npz (see
+scripts/convert_lpips_weights.py). Without weights LPIPS is reported null.
 
 Usage:
     python evaluation/run_evaluation.py --gt_dir SAVE/color_gt --pred_dir SAVE/color
@@ -65,21 +67,42 @@ def main():
     parser.add_argument("--gt_dir", required=True)
     parser.add_argument("--pred_dir", required=True)
     parser.add_argument("--lpips_weights", default=None)
+    parser.add_argument(
+        "--elpips_samples", type=int, default=0,
+        help="if >0, also compute E-LPIPS with this many ensemble samples",
+    )
     parser.add_argument("--out", default=None, help="optional JSON output path")
     args = parser.parse_args()
 
+    from neural_radiance_caching_tpu.ops import lpips as lpips_lib
+
+    lpips_params = lpips_lib.load_params(args.lpips_weights)
+    if lpips_params is None:
+        print("LPIPS disabled: no calibrated weights found "
+              "(see scripts/convert_lpips_weights.py)")
+
     gt_files, pred_files = get_files(args.gt_dir, args.pred_dir)
-    psnrs, ssims, lpipss = [], [], []
+    psnrs, ssims, lpipss, elpipss = [], [], [], []
     for gt_f, pred_f in zip(gt_files, pred_files):
         gt, pred = load_image(gt_f), load_image(pred_f)
         psnrs.append(compute_psnr(pred, gt))
         ssims.append(compute_ssim(pred, gt))
-        print(f"{os.path.basename(pred_f)}: psnr={psnrs[-1]:.3f} ssim={ssims[-1]:.4f}")
+        line = f"{os.path.basename(pred_f)}: psnr={psnrs[-1]:.3f} ssim={ssims[-1]:.4f}"
+        if lpips_params is not None:
+            lpipss.append(float(lpips_lib.lpips(lpips_params, pred, gt)))
+            line += f" lpips={lpipss[-1]:.4f}"
+            if args.elpips_samples > 0:
+                elpipss.append(lpips_lib.elpips(
+                    lpips_params, pred, gt, num_samples=args.elpips_samples
+                ))
+                line += f" elpips={elpipss[-1]:.4f}"
+        print(line)
 
     result = {
         "psnr": float(np.mean(psnrs)),
         "ssim": float(np.mean(ssims)),
         "lpips": float(np.mean(lpipss)) if lpipss else None,
+        "elpips": float(np.mean(elpipss)) if elpipss else None,
         "count": len(psnrs),
     }
     print(json.dumps(result))

@@ -88,17 +88,45 @@ def ssim(
 
 
 class MetricHarness:
-    """PSNR/SSIM harness (LPIPS hooks land with the eval stack)."""
+    """PSNR/SSIM/LPIPS harness (reference internal/image.py:400-500).
 
-    def __init__(self, **kwargs):
+    LPIPS is the pure-JAX VGG implementation in ops/lpips.py. Calibrated
+    weights are searched at the documented paths (see that module); when
+    absent, LPIPS is omitted from the output rather than reporting numbers
+    from synthesized weights. Tests can inject `lpips_params` explicitly
+    (e.g. lpips.synthesize_params()) to exercise the path.
+    """
+
+    def __init__(self, disable_lpips=False, lpips_params=None,
+                 lpips_weights_path=None, **kwargs):
         del kwargs
         self._ssim_fn = jax.jit(ssim)
+        self._lpips_params = None
+        if not disable_lpips:
+            from neural_radiance_caching_tpu.ops import lpips as lpips_lib
+
+            if lpips_params is not None:
+                self._lpips_params = lpips_params
+            else:
+                self._lpips_params = lpips_lib.load_params(lpips_weights_path)
+            self._lpips_fn = lpips_lib.lpips
 
     def __call__(self, rgb_pred, rgb_gt, name_fn=lambda s: s):
-        return {
-            name_fn("psnr"): float(psnr(rgb_pred, rgb_gt)),
-            name_fn("ssim"): float(self._ssim_fn(rgb_pred, rgb_gt)),
-        }
+        psnr_val = float(psnr(rgb_pred, rgb_gt))
+        ssim_val = float(self._ssim_fn(rgb_pred, rgb_gt))
+        out = {name_fn("psnr"): psnr_val, name_fn("ssim"): ssim_val}
+        if self._lpips_params is not None:
+            lpips_val = float(
+                self._lpips_fn(self._lpips_params, rgb_pred, rgb_gt)
+            )
+            out[name_fn("lpips")] = lpips_val
+            # Geometric mean of MSE, sqrt(DSSIM), LPIPS (image.py:496-506).
+            mse = float(np.exp(-0.1 * np.log(10.0) * psnr_val))
+            sqrt_dssim = float(np.sqrt((1.0 - ssim_val) / 2.0))
+            out[name_fn("avg_err")] = float(
+                np.exp(np.mean(np.log([mse, sqrt_dssim, max(lpips_val, 1e-12)])))
+            )
+        return out
 
 
 def rgb_to_yuv(rgb):
