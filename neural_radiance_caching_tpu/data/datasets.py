@@ -413,6 +413,26 @@ class Dataset:
                 self.masks[cam_idx, pix_y, pix_x] if self.masks is not None else None
             )
             return pytrees.Batch(rays=self._cast(pixels), rgb=rgb, masks=masks)
+        p = self._patch_size
+        if p > 1:
+            # Patch sampling (reference datasets.py:964-980): draw upper-left
+            # corners, expand to p×p grids, keep each patch's pixels
+            # contiguous in the flat batch so losses can reshape (-1, p*p).
+            num_patches = n // (p * p)
+            border = self.config.num_border_pixels_to_mask
+            corner_x = self._np_rng.randint(
+                border, self.width - border - p + 1, (num_patches, 1, 1)
+            )
+            corner_y = self._np_rng.randint(
+                border, self.height - border - p + 1, (num_patches, 1, 1)
+            )
+            dx, dy = camera_utils.pixel_coordinates(p, p)
+            pix_x = (corner_x + dx).reshape(-1)
+            pix_y = (corner_y + dy).reshape(-1)
+            cam_idx = np.repeat(
+                self._np_rng.randint(0, self.num_images, (num_patches,)), p * p
+            )
+            return self._gather_batch(cam_idx, pix_x, pix_y)
         cam_idx = self._np_rng.randint(0, self.num_images, (n,))
         pix_x = self._np_rng.randint(0, self.width, (n,))
         pix_y = self._np_rng.randint(0, self.height, (n,))

@@ -267,6 +267,12 @@ class Config:
     data_loss_gauss_mult: float = 1.0
     transient_gauss_constant_scale: float = 1.0
     charb_padding: float = 0.001
+    # Patch-wise bilateral depth smoothness (reference configs.py:901-904,
+    # loss_utils.py:204-237). Requires patch_size > 1 so batches carry patches.
+    patch_loss_mult: float = 0.0
+    bilateral_strength: float = 0.0
+    patch_variance_weighting: float = 0.0
+    num_border_pixels_to_mask: int = 0
     rawnerf_exponent: int = 1
     rawnerf_exponent_material: int = 1
     rawnerf_eps: float = 1e-2

@@ -1116,6 +1116,12 @@ class BaseMaterialMLP(shading.BaseShader):
         outputs["lighting_irradiance"] = integrated["irradiance"].reshape(
             material["albedo"].shape
         )
+        # SLF-variate pass: the pure cache-side irradiance estimate, consumed
+        # by material_correlation_loss / material_smoothness_loss.
+        if integrated.get("irradiance_cache") is not None:
+            outputs["irradiance_cache"] = integrated["irradiance_cache"].reshape(
+                material["albedo"].shape
+            )
         if "occ" not in sampler_results:
             outputs["occ"] = (
                 integrated.get("occ") if self.use_active else jnp.zeros_like(final_rgb)

@@ -702,6 +702,163 @@ def residual_albedo_loss(model, variables, rng, rays, config, batch, results,
     return (diff * weights).sum(axis=-2).mean()
 
 
+# --- radiance bounds / weight tethers (train_utils.py:1422-1491) ---------------
+
+
+def maximum_radiance_loss(model, variables, rng, rays, config, batch, results,
+                          full_results, **kwargs):
+    """Penalize per-sample shader radiance exceeding the GT pixel color.
+
+    Squared hinge on relu(rgb_sample - rgb_gt); keeps the cache from inventing
+    radiance brighter than any observation (train_utils.py:1422-1453).
+    """
+    del model, variables, rng, rays, full_results
+    shader = results.get("shader") or {}
+    if "rgb" not in shader or batch.rgb is None:
+        return 0.0
+    excess = jnp.maximum(shader["rgb"] - batch.rgb[..., None, :3], 0.0)
+    return jnp.square(excess).mean()
+
+
+def normalize_weight_loss(model, variables, rng, rays, config, batch, results,
+                          full_results, **kwargs):
+    """L1 tether between pre- and post-normalization sample weights.
+
+    Matches train_utils.py:1455-1491. The producer keys are optional (no model
+    in the reference emits them either); absent keys yield 0, so enabling the
+    loss on a model without weight normalization is a silent no-op rather than
+    an error.
+    """
+    del model, variables, rng, rays, batch, full_results
+    geometry = results.get("geometry") or {}
+    if (
+        config.normalize_weight_loss_weight == 0.0
+        or "weights_original" not in geometry
+        or "weights_new" not in geometry
+    ):
+        return 0.0
+    diff = jnp.abs(
+        geometry["weights_original"]
+        - jax.lax.stop_gradient(geometry["weights_new"])
+    )
+    return diff.mean() * config.normalize_weight_loss_weight
+
+
+# --- material/irradiance decorrelation (train_utils.py:2354-2503) --------------
+
+
+def _center_normalize(x, lossmult):
+    """Mean-center x under lossmult, then L1-normalize each column.
+
+    The normalizer adds N (the row count) so near-zero columns stay near zero
+    instead of blowing up; the result is rescaled by N so the correlation
+    statistic is O(1) regardless of batch size.
+    """
+    n = x.shape[0]
+    x = x * lossmult
+    x = (x - x.sum(axis=0, keepdims=True) / (lossmult.sum(axis=0, keepdims=True) + 1e-3))
+    x = x * lossmult
+    return x / (jnp.abs(x).sum(axis=0, keepdims=True) + n) * n
+
+
+def material_correlation_loss(model, variables, rng, rays, config, batch, results,
+                              full_results, **kwargs):
+    """Decorrelate material parameters from the irradiance estimate.
+
+    Three terms (train_utils.py:2354-2503): (1) an absolute-correlation
+    penalty between each (centered, L1-normalized) material channel and the
+    stop-gradded normalized irradiance — shading changes should be explained
+    by lighting, not baked into albedo/roughness; (2) a gradient-debiased
+    tether pulling `lighting_irradiance` toward the SLF-variate cache estimate
+    `irradiance_cache`; (3) a whitening term pulling irradiance toward gray.
+    Requires the SLF-variate material pass (which emits `irradiance_cache`);
+    returns 0 otherwise.
+    """
+    del variables, batch, full_results
+    shader = results.get("shader") or {}
+    if "lighting_irradiance" not in shader or "irradiance_cache" not in shader:
+        return 0.0
+
+    key, rng = jaxutil.random_split(rng)
+    shader_results, _ = model.maybe_resample(key, True, _filter_arrays(shader), 1)
+
+    n_rays = rays.lossmult.reshape(-1, 1).shape[0]
+    irradiance = shader_results["lighting_irradiance"].reshape(-1, 3)
+    irradiance_nocorr = shader_results.get(
+        "lighting_irradiance_nocorr", shader_results["lighting_irradiance"]
+    ).reshape(-1, 3)
+    irradiance_cache = shader_results["irradiance_cache"].reshape(-1, 3)
+
+    # Per-point lossmult: per-ray mask spread over the resampled points,
+    # weighted by the (stop-gradded) volume-rendering weight of each point.
+    weights = shader_results["weights"]
+    lossmult = rays.lossmult.reshape(-1, 1, 1)
+    lossmult = (
+        lossmult
+        * jnp.ones_like(
+            shader_results["lighting_irradiance"][..., :1].reshape(n_rays, -1, 1)
+        )
+    ).reshape(-1, 1)
+    lossmult = lossmult * jax.lax.stop_gradient(
+        weights.reshape(-1, 1) * weights.shape[-1]
+    )
+
+    irradiance_target = jax.lax.stop_gradient(
+        _center_normalize(irradiance, lossmult)
+    )
+
+    material_weights = {
+        "material_albedo": config.material_correlation_weight_albedo,
+        "material_roughness": config.material_correlation_weight_other,
+        "material_F_0": config.material_correlation_weight_other,
+        "material_metalness": config.material_correlation_weight_other,
+        "material_diffuseness": config.material_correlation_weight_other,
+        "material_mirrorness": config.material_correlation_weight_other,
+    }
+    loss = 0.0
+    for mat_key, mat_weight in material_weights.items():
+        if mat_key not in shader_results:
+            continue
+        channel = _center_normalize(
+            shader_results[mat_key].reshape(irradiance_target.shape[0], -1), lossmult
+        )
+        loss += jnp.abs((channel * irradiance_target).mean(axis=0)).sum() * mat_weight
+
+    # Irradiance-cache tether (gradient-debiased).
+    tether = {
+        "rgb": jaxutil.stopgrad_with_weight(
+            irradiance, config.irradiance_cache_stopgrad_weight
+        ),
+        "rgb_nocorr": irradiance_nocorr,
+        "cache_rgb": irradiance_cache,
+    }
+    gt = jaxutil.stopgrad_with_weight(
+        irradiance_cache, config.irradiance_cache_stopgrad_weight_backwards
+    )
+    if "rawnerf" in config.data_loss_type:
+        diff = losses_lib.compute_unbiased_loss_rawnerf(
+            tether, gt, irradiance_cache, config
+        ) * lossmult
+    else:
+        diff = losses_lib.compute_unbiased_loss(
+            tether, gt, irradiance_cache, config
+        ) * lossmult
+    loss += diff.mean() * config.irradiance_cache_loss_weight
+
+    # Whitening: pull irradiance toward its own gray level.
+    loss += (
+        losses_lib.compute_unbiased_loss(
+            {"rgb": irradiance, "rgb_nocorr": irradiance_nocorr},
+            jax.lax.stop_gradient(irradiance.mean(axis=-1, keepdims=True)),
+            jax.lax.stop_gradient(irradiance_nocorr.mean(axis=-1, keepdims=True)),
+            config,
+        )
+        * lossmult
+    ).mean() * config.whitening_loss_weight
+
+    return loss
+
+
 # --- extra-ray regularizer (train_utils.py:1305-1421) --------------------------
 
 
@@ -777,6 +934,9 @@ EXTRA_LOSS_FUNCTIONS = {
     "material_smoothness": material_smoothness_loss,
     "geometry_smoothness": geometry_smoothness_loss,
     "material_ray_sampler": material_ray_sampler_loss,
+    "material_correlation": material_correlation_loss,
+    "maximum_radiance": maximum_radiance_loss,
+    "normalize_weight": normalize_weight_loss,
 }
 
 
@@ -814,6 +974,49 @@ def compute_extra_losses(model, variables, rng, rays, config, batch, full_result
         )
         prefix = "" if output_key == "main" else output_key.replace("main", "")
         losses[prefix + loss_name] = mult * cur
+
+    # Weight-gated losses: active whenever their Config multiplier is set,
+    # even without an explicit extra_losses entry (the reference leaves these
+    # dispatchable-but-unbound; binding them to their Config weights makes the
+    # knobs real knobs).
+    spec_names = set((config.extra_losses or {}).keys())
+    if output_key == "main":
+        if (
+            "maximum_radiance" not in spec_names
+            and config.maximum_radiance_loss_weight > 0.0
+        ):
+            key, rng = jaxutil.random_split(rng)
+            losses["maximum_radiance"] = (
+                config.maximum_radiance_loss_weight
+                * maximum_radiance_loss(
+                    model, variables, key, rays, config, batch, results,
+                    full_results, train_frac=train_frac,
+                )
+            )
+        if (
+            "material_correlation" not in spec_names
+            and config.is_material
+            and (
+                config.material_correlation_weight_albedo > 0.0
+                or config.material_correlation_weight_other > 0.0
+            )
+        ):
+            key, rng = jaxutil.random_split(rng)
+            losses["material_correlation"] = material_correlation_loss(
+                model, variables, key, rays, config, batch, results,
+                full_results, train_frac=train_frac,
+            )
+    if (
+        "normalize_weight" not in spec_names
+        and config.normalize_weight_loss_weight > 0.0
+    ):
+        key, rng = jaxutil.random_split(rng)
+        nw = normalize_weight_loss(
+            model, variables, key, rays, config, batch, results,
+            full_results, train_frac=train_frac,
+        )
+        prefix = "" if output_key == "main" else output_key.replace("main", "")
+        losses[prefix + "normalize_weight"] = nw
 
     # Extra-ray regularizer (train_utils.py:3662-3680): only on the material
     # output.

@@ -287,6 +287,36 @@ def compute_data_loss(batch, rendering, rays, config, main=False, train_frac=1.0
     return sub_loss, {k: jnp.array(v) for k, v in stats.items()}
 
 
+def patch_loss(batch, rendering, config):
+    """Bilateral depth smoothness over training patches.
+
+    Pairwise Charbonnier on rendered depth within each patch_size^2 pixel
+    patch, downweighted across GT color edges (bilateral term) and in
+    high-variance patches (reference loss_utils.py:204-237; wired per
+    train_utils.py:1006-1024). Batches are flat on this side, so patches are
+    recovered by reshaping contiguous groups of patch_size^2 rays (the batcher
+    emits patch pixels contiguously).
+    """
+    p = max(config.patch_size, 1)
+    rgb_gt = batch.rgb[..., :3].reshape(-1, p * p, 3)
+    depth = rendering["distance_mean"].reshape(-1, p * p)
+
+    resid_sq = (depth[..., :, None] - depth[..., None, :]) ** 2
+    pair_loss = jnp.sqrt(resid_sq + config.charb_padding**2)
+
+    rgb_resid_sq = jnp.sum(
+        (rgb_gt[..., :, None, :] - rgb_gt[..., None, :, :]) ** 2, axis=-1
+    )
+    bilateral = jnp.exp(-config.bilateral_strength * rgb_resid_sq)
+
+    patch_mean = jnp.mean(rgb_gt, axis=-2, keepdims=True)
+    patch_var = jnp.mean(jnp.square(rgb_gt - patch_mean), axis=(-2, -1))
+    weight = jnp.exp(-(config.patch_variance_weighting**2) * patch_var)
+    weight = weight[..., None, None] * bilateral
+
+    return config.patch_loss_mult * jnp.mean(pair_loss * weight)
+
+
 def compute_mask_loss(batch, rendering, rays, config, train_frac=1.0, empty_loss_weight=None):
     """Opaque/empty acc supervision (train_utils.py:785-838)."""
     lossmult = rays.lossmult

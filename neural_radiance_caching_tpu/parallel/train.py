@@ -147,6 +147,16 @@ def _compute_losses_for_output(
     for k, v in data_stats.items():
         stats[prefix + k] = v
 
+    # Patch-wise bilateral depth smoothness (reference train_utils.py:1006-1024;
+    # needs patch_size > 1 so the batcher emitted contiguous pixel patches).
+    if (
+        config.patch_loss_mult > 0
+        and config.patch_size > 1
+        and rendering.get("distance_mean") is not None
+        and batch.rgb is not None
+    ):
+        losses[prefix + "patch"] = losses_lib.patch_loss(batch, rendering, out_config)
+
     ray_history = results["sampler"]
     last = results["geometry"]
     if ray_history is None or last is None:
