@@ -114,7 +114,8 @@ class BaseDensityMLP(nn.Module):
         raw_density = self.output_density_layer(x)[..., 0].astype(jnp.float32)
         return raw_density, x.astype(jnp.float32)
 
-    def _encode(self, means, covs, control_offsets, perp_mag, is_secondary):
+    def _encode(self, means, covs, control_offsets, perp_mag, is_secondary,
+                viewdirs=None):
         """Build the network input features for each sample mean."""
         x = []
         if self.grid is not None:
@@ -132,11 +133,33 @@ class BaseDensityMLP(nn.Module):
                         scale = self.unscented_scale_mult * perp_mag[..., None]
                 else:
                     control = self.warp_fn(control)
+
+            # Feature-radius filter (geometry.py:259-289): zero fine grid
+            # levels for far-field points, optionally re-pointing them at a
+            # distant along-view position so coarse levels still see them.
+            feature_filter = None
+            if self.use_feature_filter and (
+                is_secondary or not self.use_feature_filter_secondary_only
+            ):
+                feature_filter = (
+                    jnp.linalg.norm(means[..., None, :], axis=-1, keepdims=True)
+                    < self.feature_filter_radius
+                )
+                if self.use_feature_filter_far_field and viewdirs is not None:
+                    vd = viewdirs
+                    while vd.ndim < control.ndim:
+                        vd = vd[..., None, :]
+                    far = jnp.ones_like(control) * vd * 100.0
+                    if self.warp_fn is not None:
+                        far = self.warp_fn(far)
+                    control = jnp.where(feature_filter, control, far)
             x.append(
                 self.grid(
                     control,
                     x_scale=scale,
                     per_level_fn=math.average_across_multisamples,
+                    feature_filter=feature_filter,
+                    feature_filter_size=self.feature_filter_size,
                 )
             )
         if self.grid is None or self.use_posenc_with_grid:
@@ -151,7 +174,8 @@ class BaseDensityMLP(nn.Module):
         return jnp.concatenate(x, axis=-1)
 
     def predict_density(
-        self, means, covs, control_offsets, perp_mag, density_key=None, is_secondary=False
+        self, means, covs, control_offsets, perp_mag, density_key=None, is_secondary=False,
+        viewdirs=None,
     ):
         """Raw density (pre-activation) and trunk feature for each sample."""
         if self.isotropize_gaussians:
@@ -161,7 +185,8 @@ class BaseDensityMLP(nn.Module):
         if self.gaussian_covariance_pad > 0:
             covs = covs + jnp.diag(jnp.full(covs.shape[-1], self.gaussian_covariance_pad))
 
-        x = self._encode(means, covs, control_offsets, perp_mag, is_secondary)
+        x = self._encode(means, covs, control_offsets, perp_mag, is_secondary,
+                         viewdirs=viewdirs)
         raw_density, feat = self._run_trunk(x)
         if density_key is not None and self.density_noise > 0:
             raw_density += self.density_noise * jax.random.normal(density_key, raw_density.shape)
@@ -210,9 +235,11 @@ class BaseDensityMLP(nn.Module):
 
         density_key, rng = jaxutil.random_split(rng)
 
+        viewdirs = getattr(rays, "viewdirs", None) if rays is not None else None
         if self.disable_density_normals or mesh_normals is not None:
             raw_density, feat = self.predict_density(
-                means, covs, control_offsets, perp_mag, density_key, is_secondary
+                means, covs, control_offsets, perp_mag, density_key, is_secondary,
+                viewdirs=viewdirs,
             )
             raw_grad_density = None
             normals = None
@@ -222,7 +249,8 @@ class BaseDensityMLP(nn.Module):
             # pointwise (see module docstring).
             def density_of_means(m):
                 return self.predict_density(
-                    m, covs, control_offsets, perp_mag, density_key, is_secondary
+                    m, covs, control_offsets, perp_mag, density_key, is_secondary,
+                    viewdirs=viewdirs,
                 )
 
             (raw_density, feat), vjp_fn = jax.vjp(density_of_means, means, has_aux=False)

@@ -109,11 +109,8 @@ class HashEncoding(nn.Module):
                 f"feature_aggregator={self.feature_aggregator!r}: only 'concatenate' "
                 "is implemented (the reference default, grid_utils.py:896-901)."
             )
-        if self.append_scale:
-            raise NotImplementedError("append_scale is not yet implemented.")
-        if feature_filter is not None:
-            raise NotImplementedError("feature_filter is not yet implemented.")
-        del feature_filter_size
+        if self.append_scale and x_scale is None:
+            raise ValueError("append_scale=True requires an x_scale input.")
 
         if per_level_fn is None:
             reduce = None
@@ -145,6 +142,11 @@ class HashEncoding(nn.Module):
                 "hash_levels", init, (num_hash, self.hash_map_size, self.num_features)
             )
 
+        if self.append_scale and reduce == "concat":
+            raise NotImplementedError(
+                "append_scale with concat multisample reduction is unsupported."
+            )
+
         if reduce is None:
             # No reduction: every input point keeps its own feature. Insert a
             # singleton multisample axis; the mean over it is the identity.
@@ -159,19 +161,69 @@ class HashEncoding(nn.Module):
                 multisample_reduce="mean",
                 interpolation=self.interpolation,
             )
-            return features * self.precondition_scaling
+        else:
+            features = hashgrid.multires_grid_encode(
+                x,
+                hash_tables,
+                dense_pool,
+                grid_sizes=tuple(int(s) for s in grid_sizes),
+                table_size=self.hash_map_size,
+                dense_offsets=self.dense_offsets,
+                x_scale=x_scale,
+                multisample_reduce=reduce,
+                interpolation=self.interpolation,
+            )
 
-        features = hashgrid.multires_grid_encode(
-            x,
-            hash_tables,
-            dense_pool,
-            grid_sizes=tuple(int(s) for s in grid_sizes),
-            table_size=self.hash_map_size,
-            dense_offsets=self.dense_offsets,
-            x_scale=x_scale,
-            multisample_reduce=reduce,
-            interpolation=self.interpolation,
-        )
+        if self.append_scale or feature_filter is not None:
+            # Post-hoc per-level transforms (grid_utils.py:872-892). The fused
+            # encoder returns level-major features, so both the scale feature
+            # and the radius filter can be applied by reshaping to
+            # [..., L, F'] — no kernel change needed.
+            lead = features.shape[:-1]
+            num_levels = len(grid_sizes)
+            f_lvl = features.reshape(lead + (num_levels, -1))
+
+            if self.append_scale:
+                # Scale feature 2w-1, rescaled by the running feature RMS so
+                # the two stay magnitude-matched (grid_utils.py:872-885).
+                sizes_arr = jnp.asarray(grid_sizes, f_lvl.dtype)
+                weighting = math.approx_erf(
+                    1.0 / (jnp.sqrt(8.0) * (x_scale * sizes_arr))
+                )
+                if reduce == "mean":
+                    weighting = weighting.mean(axis=-2)  # average multisamples
+                level_rms = []
+                for li in range(num_levels):
+                    if li < num_dense:
+                        start = self.dense_offsets[li]
+                        count = int(grid_sizes.astype(np.int64)[li] ** 3)
+                        vals = dense_pool[start : start + count]
+                    else:
+                        vals = hash_tables[li - num_dense]
+                    level_rms.append(
+                        jnp.sqrt(
+                            maxval**2
+                            + jnp.mean(jax.lax.stop_gradient(vals) ** 2)
+                        )
+                    )
+                f_scale = (2.0 * weighting - 1.0) * jnp.stack(level_rms)
+                f_lvl = jnp.concatenate([f_lvl, f_scale[..., None]], axis=-1)
+
+            if feature_filter is not None:
+                # Zero out fine levels outside the filter radius
+                # (grid_utils.py:890-892): only levels with grid_size >
+                # feature_filter_size are masked.
+                gate = jnp.asarray(
+                    grid_sizes > (feature_filter_size or 0)
+                ).reshape(num_levels, 1)
+                filt = jnp.asarray(feature_filter, f_lvl.dtype)
+                # Collapse any multisample axis to per-point.
+                filt = filt.reshape(lead + (-1,)).mean(axis=-1)
+                filt = filt[..., None, None]  # [..., 1, 1]
+                f_lvl = f_lvl * jnp.where(gate, filt, jnp.ones_like(filt))
+
+            features = f_lvl.reshape(lead + (-1,))
+
         return features * self.precondition_scaling
 
 

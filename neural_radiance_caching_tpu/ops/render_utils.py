@@ -248,6 +248,15 @@ def GGX_D(costheta, a):
     return a**2 / jnp.maximum(eps, jnp.pi * ((costheta**2 * (a**2 - 1.0) + 1.0)) ** 2)
 
 
+def GGX_G1(w, a):
+    """Smith masking term for GGX: 2cosθ / (cosθ + sqrt(a² + (1-a²)cos²θ))."""
+    eps = np.finfo(np.float32).eps
+    cos_t = jnp.abs(w[..., 2])
+    return 2.0 * cos_t / jnp.maximum(
+        eps, cos_t + jnp.sqrt(a**2 + (1.0 - a**2) * cos_t**2)
+    )
+
+
 @flax.struct.dataclass
 class MicrofacetSampler:
     """GGX half-vector importance sampler."""
@@ -257,9 +266,64 @@ class MicrofacetSampler:
     return_rgb: bool = False
     deterministic: bool = False
 
+    def _sample_visible_normals(self, u1, u2, wo, alpha):
+        """VNDF sampling of GGX visible normals (Heitz 2018).
+
+        Draws microfacet normals proportional to D(m)·G1(wo)·max(0, wo·m),
+        which removes the wasted samples of plain D-sampling at grazing
+        angles. The reference leaves this path unimplemented
+        (render_utils.py:502-504); implementing it is a strict improvement.
+        """
+        eps = np.finfo(np.float32).eps
+        a = jnp.broadcast_to(alpha, wo.shape[:-1])[..., None]
+        # Stretch wo into the unit-roughness configuration.
+        vh = math_utils.normalize(
+            jnp.concatenate([a * wo[..., :2], wo[..., 2:]], axis=-1)
+        )
+        # Orthonormal frame around vh, robust when vh ≈ ±z.
+        lensq = vh[..., 0] ** 2 + vh[..., 1] ** 2
+        inv_len = 1.0 / jnp.sqrt(jnp.maximum(lensq, eps))
+        t1 = jnp.where(
+            (lensq > eps)[..., None],
+            jnp.stack(
+                [-vh[..., 1] * inv_len, vh[..., 0] * inv_len, jnp.zeros_like(inv_len)],
+                axis=-1,
+            ),
+            jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), vh.shape),
+        )
+        t2 = jnp.cross(vh, t1)
+        # Uniform disk sample warped onto the projected hemisphere.
+        r = jnp.sqrt(u1)
+        phi = u2 * 2.0 * jnp.pi - jnp.pi
+        p1 = r * jnp.cos(phi)
+        p2 = r * jnp.sin(phi)
+        s = 0.5 * (1.0 + vh[..., 2])
+        p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(0.0, 1.0 - p1**2)) + s * p2
+        nh = (
+            p1[..., None] * t1
+            + p2[..., None] * t2
+            + jnp.sqrt(jnp.maximum(0.0, 1.0 - p1**2 - p2**2))[..., None] * vh
+        )
+        # Unstretch back to the true roughness.
+        ne = math_utils.normalize(
+            jnp.concatenate(
+                [a * nh[..., :2], jnp.maximum(nh[..., 2:], 1e-6)], axis=-1
+            )
+        )
+        alpha_b = a[..., 0]
+        pdf = (
+            GGX_G1(wo, alpha_b)
+            * jnp.maximum(jnp.sum(wo * ne, axis=-1), 0.0)
+            * GGX_D(ne[..., 2], alpha_b)
+            / jnp.maximum(jnp.abs(wo[..., 2]), eps)
+        )
+        return ne, jnp.maximum(pdf, 0.0)
+
     def sample_normals(self, u1, u2, alpha):
         if self.sample_visible:
-            raise NotImplementedError("visible-normal sampling not implemented")
+            raise NotImplementedError(
+                "visible-normal sampling needs wo; use sample_directions"
+            )
         eps = np.finfo(np.float32).eps
         tantheta2 = alpha**2 * u1 / jnp.maximum(1.0 - u1, eps)
         costheta = 1.0 / jnp.sqrt(jnp.maximum(1.0 + tantheta2, eps))
@@ -270,7 +334,10 @@ class MicrofacetSampler:
         return n, jnp.maximum(pdf, 0.0)
 
     def sample_directions(self, rng, u1, u2, wo, alpha, light_idx, kwargs):
-        normals, normal_pdf = self.sample_normals(u1, u2, alpha[..., 0])
+        if self.sample_visible:
+            normals, normal_pdf = self._sample_visible_normals(u1, u2, wo, alpha[..., 0])
+        else:
+            normals, normal_pdf = self.sample_normals(u1, u2, alpha[..., 0])
         # Reflect wo about the sampled microfacet normal.
         directions = 2.0 * jnp.sum(wo * normals, axis=-1, keepdims=True) * normals - wo
         eps = np.finfo(np.float32).eps
@@ -283,7 +350,16 @@ class MicrofacetSampler:
         normals = math_utils.normalize(wo + wi)
         eps = np.finfo(np.float32).eps
         jac = 1.0 / jnp.maximum(4.0 * jnp.sum(wo * normals, axis=-1), eps)
-        pdf = GGX_D(normals[..., 2], alpha[..., 0]) * jnp.abs(normals[..., 2]) * jac
+        if self.sample_visible:
+            # VNDF density: D(m)·G1(wo)·(wo·m)/cosθo, times the half-vector
+            # jacobian 1/(4 wo·m) → D(m)·G1(wo)/(4 cosθo).
+            pdf = (
+                GGX_D(normals[..., 2], alpha[..., 0])
+                * GGX_G1(wo, alpha[..., 0])
+                / jnp.maximum(4.0 * jnp.abs(wo[..., 2]), eps)
+            )
+        else:
+            pdf = GGX_D(normals[..., 2], alpha[..., 0]) * jnp.abs(normals[..., 2]) * jac
         pdf = jnp.where(jnp.sum(wo * normals, axis=-1) <= 0.0, 0.0, pdf)
         return jnp.maximum(pdf, 0.0)
 
@@ -346,6 +422,43 @@ class EnvironmentSampler:
         sims = jnp.einsum("...c,...nc->...n", wi, dirs[..., 0, :, :])
         idx = jnp.argmax(sims, axis=-1)
         return jnp.take_along_axis(pdf_map[..., 0], idx[..., None], axis=-1)[..., 0]
+
+
+class QuadratureEnvmapSampler:
+    """Deterministic equirectangular quadrature over a GT environment map.
+
+    Every sample is an env-map texel direction with pdf 1/(2π² sinθ): the
+    reciprocal of an equirect texel's solid-angle weight, so the MC estimator
+    sum(f/pdf)/N becomes fixed-grid quadrature of ∫f dΩ. Use as the ONLY
+    sampler with num_secondary_samples equal to (a divisor of) the texel
+    count — this is the GT-relighting evaluation path
+    (reference render_utils.py:1431-1491; that version returns the full grid
+    and is unregistered — here a strided texel subset supports any sample
+    count and the sampler is registered as "quadrature"). Directions are
+    world-frame, hence global_dirs=True (the reference's False is unreachable
+    there).
+    """
+
+    global_dirs: bool = True
+    return_rgb: bool = True
+    deterministic: bool = True
+
+    def sample_directions(self, rng, u1, u2, wo, _, light_idx, kwargs):
+        del rng, u2
+        dirs = jax.lax.stop_gradient(kwargs["env_map_dirs"]).reshape(-1, 3)
+        rgbs = jax.lax.stop_gradient(kwargs["env_map"]).reshape(-1, 3)
+        total = dirs.shape[0]
+        n = u1.shape[-1]
+        idx = jnp.round(jnp.linspace(0, total - 1, n)).astype(jnp.int32)
+        sub_dirs = jnp.broadcast_to(dirs[idx], u1.shape + (3,))
+        sub_rgbs = jnp.broadcast_to(rgbs[idx], u1.shape + (3,))
+        sintheta = jnp.sqrt(jnp.maximum(1.0 - sub_dirs[..., 2] ** 2, 1e-12))
+        pdf = 1.0 / (2.0 * jnp.pi**2 * sintheta)
+        return sub_dirs, jnp.maximum(pdf, 0.0), sub_rgbs
+
+    def pdf(self, wo, wi, _, kwargs):
+        sintheta = jnp.sqrt(jnp.maximum(1.0 - wi[..., 2] ** 2, 1e-12))
+        return 1.0 / (2.0 * jnp.pi**2 * sintheta)
 
 
 # --- vMF mixtures -------------------------------------------------------------
@@ -1179,6 +1292,7 @@ def zero_invalid_bins(
 IMPORTANCE_SAMPLER_BY_NAME = {
     "light": LightSampler,
     "environment": EnvironmentSampler,
+    "quadrature": QuadratureEnvmapSampler,
     "microfacet": MicrofacetSampler,
     "cosine": CosineSampler,
     "uniform": UniformHemisphereSampler,
