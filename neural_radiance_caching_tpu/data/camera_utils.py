@@ -1,9 +1,11 @@
-"""Camera math: pixel→ray casting and pose utilities.
+"""Camera math: pixel→ray casting, lens distortion, and pose utilities.
 
 Behavioral parity target: reference internal/camera_utils.py (pixels_to_rays
-:896-1074, cast_ray_batch :1225-1329). Perspective (pinhole) projection is
-implemented this round; fisheye/panoramic and distortion solves land with the
-COLMAP loaders.
+:896-1074, distortion solve :771-886, cast_ray_batch :1225-1329, render paths
+:198-231/:306-545, general/pinhole/spherical casting :1332-1442). Supports
+perspective, fisheye (equidistant + equisolid), and panoramic projections,
+with OpenCV radial/tangential distortion inverted by a fixed-iteration Newton
+solve.
 """
 
 from __future__ import annotations
@@ -56,16 +58,39 @@ def unpad_poses(p):
     return p[..., :3, :4]
 
 
-def viewmatrix(lookdir, up, position):
-    """Camera-to-world from viewing direction + up + position."""
+def viewmatrix(lookdir, up, position, lock_up=False):
+    """Camera-to-world from viewing direction + up + position.
+
+    By default `lookdir` is kept exact and `up` is re-orthogonalized; with
+    lock_up=True the up vector is kept and the look direction bends instead
+    (reference camera_utils.py:147-163).
+    """
 
     def normalize(x):
         return x / (np.linalg.norm(x) + 1e-12)
 
+    vec1 = normalize(up)
     vec2 = normalize(lookdir)
-    vec0 = normalize(np.cross(up, vec2))
-    vec1 = normalize(np.cross(vec2, vec0))
+    vec0 = normalize(np.cross(vec1, vec2))
+    if lock_up:
+        vec2 = normalize(np.cross(vec0, vec1))
+    else:
+        vec1 = normalize(np.cross(vec2, vec0))
     return np.stack([vec0, vec1, vec2, position], axis=1)
+
+
+def rotation_about_axis(degrees, axis=0):
+    """4x4 rotation about one coordinate axis (camera_utils.py:166-176)."""
+    radians = degrees / 180.0 * np.pi
+    rot2x2 = np.array(
+        [[np.cos(radians), -np.sin(radians)], [np.sin(radians), np.cos(radians)]]
+    )
+    r = np.eye(3)
+    r[1:3, 1:3] = rot2x2
+    r = np.roll(np.roll(r, axis, axis=0), axis, axis=1)
+    p = np.eye(4)
+    p[:3, :3] = r
+    return p
 
 
 def average_pose(poses):
@@ -201,6 +226,60 @@ def gather_cameras(cameras, inds):
     return tuple(gather(c) for c in cameras)
 
 
+# --- OpenCV lens distortion (camera_utils.py:771-886) --------------------------
+
+
+def distort_coordinates(x, y, params):
+    """Apply the OpenCV radial (k1..k4) + tangential (p1, p2) model."""
+    k1 = params.get("k1", 0.0)
+    k2 = params.get("k2", 0.0)
+    k3 = params.get("k3", 0.0)
+    k4 = params.get("k4", 0.0)
+    p1 = params.get("p1", 0.0)
+    p2 = params.get("p2", 0.0)
+    r2 = x * x + y * y
+    # Horner form of k1·r² + k2·r⁴ + k3·r⁶ + k4·r⁸.
+    radial = r2 * (k1 + r2 * (k2 + r2 * (k3 + r2 * k4)))
+    xd = x * (1.0 + radial) + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * (1.0 + radial) + 2.0 * p2 * x * y + p1 * (r2 + 2.0 * y * y)
+    return xd, yd
+
+
+def undistort_coordinates(xd, yd, params, xnp=np, max_iterations=10, eps=1e-9):
+    """Invert distort_coordinates with a fixed-iteration 2D Newton solve.
+
+    Initialized at the distorted point; each step solves the 2x2 linear
+    system J·Δ = -F with the closed-form Jacobian of the distortion model.
+    Fixed iteration count keeps it jittable (camera_utils.py:844-886).
+    """
+    k1 = params.get("k1", 0.0)
+    k2 = params.get("k2", 0.0)
+    k3 = params.get("k3", 0.0)
+    k4 = params.get("k4", 0.0)
+    p1 = params.get("p1", 0.0)
+    p2 = params.get("p2", 0.0)
+
+    x = xd * xnp.ones_like(xd)
+    y = yd * xnp.ones_like(yd)
+    for _ in range(max_iterations):
+        r2 = x * x + y * y
+        d = 1.0 + r2 * (k1 + r2 * (k2 + r2 * (k3 + r2 * k4)))
+        # d/d(r²) of the radial factor, then chain rule through r² = x²+y².
+        d_r = k1 + r2 * (2.0 * k2 + r2 * (3.0 * k3 + r2 * (4.0 * k4)))
+        fx = d * x + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x) - xd
+        fy = d * y + 2.0 * p2 * x * y + p1 * (r2 + 2.0 * y * y) - yd
+        jxx = d + 2.0 * x * x * d_r + 2.0 * p1 * y + 6.0 * p2 * x
+        jxy = 2.0 * x * y * d_r + 2.0 * p1 * x + 2.0 * p2 * y
+        jyx = 2.0 * x * y * d_r + 2.0 * p2 * y + 2.0 * p1 * x
+        jyy = d + 2.0 * y * y * d_r + 2.0 * p2 * x + 6.0 * p1 * y
+        det = jxx * jyy - jxy * jyx
+        safe = xnp.abs(det) > eps
+        inv_det = xnp.where(safe, 1.0 / xnp.where(safe, det, 1.0), 0.0)
+        x = x - (fx * jyy - fy * jxy) * inv_det
+        y = y - (fy * jxx - fx * jyx) * inv_det
+    return x, y
+
+
 def pixels_to_rays(
     pix_x_int,
     pix_y_int,
@@ -218,8 +297,6 @@ def pixels_to_rays(
     Radii follow the mip-NeRF convention: half the distance to the
     neighboring pixels' directions, scaled by 2/sqrt(12).
     """
-    if camtype != ProjectionType.PERSPECTIVE:
-        raise NotImplementedError(f"camtype {camtype} not yet implemented")
 
     def pix_to_dir(x, y):
         return xnp.stack([x + 0.5, y + 0.5, xnp.ones_like(x)], axis=-1)
@@ -249,7 +326,47 @@ def pixels_to_rays(
     camera_dirs_stacked = mat_vec_mul(pixtocams, pixel_dirs_stacked)
 
     if distortion_params is not None:
-        raise NotImplementedError("distortion not yet implemented")
+        # Stored params describe the forward (world→image) distortion; ray
+        # casting needs the inverse, solved per pixel.
+        x, y = undistort_coordinates(
+            camera_dirs_stacked[..., 0],
+            camera_dirs_stacked[..., 1],
+            distortion_params,
+            xnp=xnp,
+        )
+        camera_dirs_stacked = xnp.stack([x, y, xnp.ones_like(x)], axis=-1)
+
+    if camtype in (ProjectionType.FISHEYE, ProjectionType.FISHEYE_EQUISOLID):
+        # Image-plane radius (in focal units) → polar angle.
+        r = xnp.sqrt(
+            xnp.sum(xnp.square(camera_dirs_stacked[..., :2]), axis=-1)
+        )
+        if camtype == ProjectionType.FISHEYE:
+            theta = xnp.minimum(xnp.pi, r)  # equidistant: θ = r
+        else:
+            theta = 2.0 * xnp.arcsin(r / 2.0)  # equisolid: r = 2 sin(θ/2)
+        sin_over_r = xnp.sin(theta) / xnp.maximum(r, 1e-12)
+        camera_dirs_stacked = xnp.stack(
+            [
+                camera_dirs_stacked[..., 0] * sin_over_r,
+                camera_dirs_stacked[..., 1] * sin_over_r,
+                xnp.cos(theta),
+            ],
+            axis=-1,
+        )
+    elif camtype == ProjectionType.PANORAMIC:
+        # Equirect: pixtocam maps pixels to (θ azimuth, φ polar). Negated y/z
+        # follow the OpenCV convention (camera_utils.py:1016-1029).
+        theta = camera_dirs_stacked[..., 0]
+        phi = camera_dirs_stacked[..., 1]
+        camera_dirs_stacked = xnp.stack(
+            [
+                -xnp.sin(phi) * xnp.sin(theta),
+                -xnp.cos(phi),
+                -xnp.sin(phi) * xnp.cos(theta),
+            ],
+            axis=-1,
+        )
 
     # OpenCV → OpenGL.
     camera_dirs_stacked = xnp.matmul(
@@ -310,8 +427,19 @@ def cast_ray_batch(
     (camera_utils.py:1225-1329).
     """
     pixtocams, camtoworlds = cameras[0], cameras[1]
+    distortion_params = cameras[2] if len(cameras) > 2 else None
     cam_idx = pixels.cam_idx[..., 0]
     light_idx = pixels.light_idx[..., 0]
+    if isinstance(distortion_params, dict):
+        # Per-camera arrays are gathered by cam_idx; shared floats pass through.
+        distortion_params = {
+            k: (
+                v[cam_idx]
+                if hasattr(v, "ndim") and np.asarray(v).ndim >= 1
+                else v
+            )
+            for k, v in distortion_params.items()
+        }
 
     # Shared-intrinsics datasets store a single [1, 3, 3] pixtocam.
     pixtocam = pixtocams[cam_idx if pixtocams.shape[0] > 1 else xnp.zeros_like(cam_idx)]
@@ -338,6 +466,7 @@ def cast_ray_batch(
         pixels.pix_y_int,
         pixtocam,
         camtoworld,
+        distortion_params=distortion_params,
         camtype=camtype,
         rng=rng,
         jitter=jitter,
@@ -369,6 +498,241 @@ def cast_ray_batch(
         exposure_values=pixels.exposure_values,
         impulse_response=impulse_response,
     )
+
+
+# --- free-camera ray batches (camera_utils.py:1332-1442) -----------------------
+
+
+def cast_general_rays(
+    camtoworld,
+    pixtocam,
+    height,
+    width,
+    near,
+    far,
+    distortion_params=None,
+    camtype=ProjectionType.PERSPECTIVE,
+    rng=None,
+    jitter=0,
+    cam_idx=0,
+    light_idx=0,
+    lights=None,
+    xnp=np,
+):
+    """Full-image ray batch for an arbitrary camera (not tied to a dataset)."""
+    pix_x_int, pix_y_int = pixel_coordinates(width, height, xnp=np)
+    pix_x_int = xnp.asarray(pix_x_int)
+    pix_y_int = xnp.asarray(pix_y_int)
+
+    (
+        origins,
+        directions,
+        viewdirs,
+        radii,
+        imageplane,
+        look,
+        up,
+        cam_origins,
+        vcam_look,
+        vcam_up,
+        vcam_origins,
+    ) = pixels_to_rays(
+        pix_x_int,
+        pix_y_int,
+        xnp.asarray(pixtocam, xnp.float32),
+        xnp.asarray(camtoworld, xnp.float32)[..., :3, :4],
+        distortion_params=distortion_params,
+        camtype=camtype,
+        rng=rng,
+        jitter=jitter,
+        xnp=xnp,
+    )
+
+    scalar = lambda v: xnp.broadcast_to(v, pix_x_int.shape)[..., None]
+    if lights is None:
+        lights = xnp.asarray(camtoworld, xnp.float32)[..., :3, -1]
+    lights = xnp.broadcast_to(lights, directions.shape)
+    return pytrees.Rays(
+        origins=origins,
+        directions=directions,
+        viewdirs=viewdirs,
+        radii=radii,
+        lights=lights,
+        imageplane=imageplane,
+        look=look,
+        up=up,
+        cam_origins=cam_origins,
+        vcam_look=vcam_look,
+        vcam_up=vcam_up,
+        vcam_origins=vcam_origins,
+        lossmult=scalar(1.0),
+        near=scalar(xnp.float32(near)),
+        far=scalar(xnp.float32(far)),
+        cam_idx=scalar(1).astype(xnp.int32) * cam_idx,
+        light_idx=scalar(1).astype(xnp.int32) * light_idx,
+        pix_x_int=pix_x_int,
+        pix_y_int=pix_y_int,
+    )
+
+
+def cast_pinhole_rays(camtoworld, height, width, focal, near, far, rng=None,
+                      jitter=0, xnp=np, **kwargs):
+    """Pinhole full-image ray batch (camera_utils.py:1386-1412)."""
+    return cast_general_rays(
+        camtoworld,
+        get_pixtocam(focal, width, height, xnp=np),
+        height,
+        width,
+        near,
+        far,
+        camtype=ProjectionType.PERSPECTIVE,
+        rng=rng,
+        jitter=jitter,
+        xnp=xnp,
+        **kwargs,
+    )
+
+
+def cast_spherical_rays(camtoworld, height, width, near, far, rng=None,
+                        jitter=0, light_idx=0, xnp=np, **kwargs):
+    """Panoramic (equirect) ray batch from one pose — the Trainer's secondary
+    visualization probe camera (camera_utils.py:1415-1442)."""
+    pixtocam = np.diag(
+        np.array([2.0 * np.pi / width, np.pi / height, 1.0], np.float32)
+    )
+    return cast_general_rays(
+        camtoworld,
+        pixtocam,
+        height,
+        width,
+        near,
+        far,
+        camtype=ProjectionType.PANORAMIC,
+        rng=rng,
+        jitter=jitter,
+        light_idx=light_idx,
+        xnp=xnp,
+        **kwargs,
+    )
+
+
+# --- render-path generation (camera_utils.py:193-231, 411-545) -----------------
+
+# Forward-facing spiral heuristics (camera_utils.py:193-195).
+NEAR_STRETCH = 0.9
+FAR_STRETCH = 5.0
+FOCUS_DISTANCE = 0.75
+
+
+def generate_spiral_path(poses, bounds, n_frames=120, n_rots=2, zrate=0.5):
+    """Forward-facing spiral render path (LLFF-style)."""
+    near_bound = bounds.min() * NEAR_STRETCH
+    far_bound = bounds.max() * FAR_STRETCH
+    # Focus depth: disparity-space blend of the near/far bounds.
+    focal = 1 / ((1 - FOCUS_DISTANCE) / near_bound + FOCUS_DISTANCE / far_bound)
+
+    positions = poses[:, :3, 3]
+    radii = np.percentile(np.abs(positions), 90, 0)
+    radii = np.concatenate([radii, [1.0]])
+
+    render_poses = []
+    cam2world = average_pose(poses)
+    up = poses[:, :3, 1].mean(0)
+    for theta in np.linspace(0.0, 2.0 * np.pi * n_rots, n_frames, endpoint=False):
+        t = radii * [np.cos(theta), -np.sin(theta), -np.sin(theta * zrate), 1.0]
+        position = cam2world @ t
+        lookat = cam2world @ [0, 0, -focal, 1.0]
+        z_axis = position - lookat
+        render_poses.append(viewmatrix(z_axis, up, position))
+    return np.stack(render_poses, axis=0)
+
+
+def generate_interpolated_path(
+    poses,
+    n_interp,
+    spline_degree=5,
+    smoothness=0.03,
+    rot_weight=0.1,
+    lock_up=False,
+    fixed_up_vector=None,
+    lookahead_i=None,
+    const_speed=False,
+    n_buffer=None,
+    periodic=False,
+):
+    """Smooth B-spline path through keyframe poses (camera_utils.py:411-545).
+
+    Each pose is converted to a (position, lookat-point, up-point) triple so
+    rotation and translation interpolate in one consistent space; the spline
+    runs over the stacked 9-vector and is converted back to view matrices.
+    Returns (n_interp * (n_keyframes - 1)) poses of shape [N, 3, 4].
+    """
+    import scipy.interpolate
+
+    def poses_to_points(ps, dist):
+        pos = ps[:, :3, -1]
+        lookat = pos - dist * ps[:, :3, 2]
+        up = pos + dist * ps[:, :3, 1]
+        return np.stack([pos, lookat, up], 1)
+
+    def points_to_poses(points):
+        out = []
+        for i in range(len(points)):
+            pos, lookat_point, up_point = points[i]
+            if lookahead_i is not None and i + lookahead_i < len(points):
+                lookat = pos - points[i + lookahead_i][0]
+            else:
+                lookat = pos - lookat_point
+            up = (up_point - pos) if fixed_up_vector is None else fixed_up_vector
+            out.append(viewmatrix(lookat, up, pos, lock_up=lock_up))
+        return np.array(out)
+
+    def insert_buffer_poses(ps, nb):
+        dz = np.mean(np.linalg.norm(ps[1:, :3, 3] - ps[:-1, :3, 3], axis=-1))
+
+        def shift(pose, d):
+            result = np.copy(pose)
+            z = result[:3, 2] / np.linalg.norm(result[:3, 2])
+            result[:3, 3] += z * d
+            return result
+
+        prefix = np.stack([shift(ps[0], (i + 1) * dz) for i in range(nb)])[::-1]
+        suffix = np.stack([shift(ps[-1], -(i + 1) * dz) for i in range(nb)])
+        return np.concatenate([prefix, ps, suffix])
+
+    def interp(points, u, k, s):
+        sh = points.shape
+        pts = np.reshape(points, (sh[0], -1))
+        k = min(k, sh[0] - 1)
+        tck, u_keyframes = scipy.interpolate.splprep(pts.T, k=k, s=s, per=periodic)
+        new_points = np.array(scipy.interpolate.splev(u, tck))
+        return np.reshape(new_points.T, (len(u), sh[1], sh[2])), u_keyframes
+
+    if n_buffer is not None:
+        poses = insert_buffer_poses(poses, n_buffer)
+    points = poses_to_points(poses, dist=rot_weight)
+    n_frames = n_interp * (points.shape[0] - 1)
+    u = np.linspace(0, 1, n_frames, endpoint=True)
+    new_points, u_keyframes = interp(points, u=u, k=spline_degree, s=smoothness)
+    out_poses = points_to_poses(new_points)
+
+    if n_buffer is not None:
+        lo, hi = u_keyframes[n_buffer], u_keyframes[-n_buffer - 1]
+        mask = (u >= lo) & (u <= hi)
+        out_poses, u = out_poses[mask], u[mask]
+
+    if const_speed:
+        from neural_radiance_caching_tpu.ops import stepfun
+
+        positions = out_poses[:, :3, -1]
+        lengths = np.linalg.norm(positions[1:] - positions[:-1], axis=-1)
+        u = np.asarray(
+            stepfun.sample(None, u, np.log(lengths), len(out_poses) + 1)
+        )
+        new_points, _ = interp(points, u=u, k=spline_degree, s=smoothness)
+        out_poses = points_to_poses(new_points)
+
+    return out_poses[:-1]
 
 
 def generate_spherical_poses(n, radius, center=np.zeros(3), up_axis=2, min_elevation=0.2,

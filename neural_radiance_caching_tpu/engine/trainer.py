@@ -612,6 +612,165 @@ class Trainer:
         )
         return rendering, batch
 
+    # --- secondary visualization probe (trainer.py:848-1069, 1991-2052) -------
+
+    def _probe_resolution(self):
+        h, w = self.test_dataset.height, self.test_dataset.width
+        return min(256, h), min(512, w * 2)
+
+    def render_secondary_rays(self, rays, distance_median, normals, select_x,
+                              select_y, train_frac):
+        """Panoramic probe: render what the cache sees from one surface point.
+
+        Takes the median-depth surface point under pixel (select_x, select_y),
+        offsets it along the surface normal, and renders a full equirect view
+        from there with passes ("cache", "light", "is_secondary") — the
+        reference's key material-stage debugging tool (trainer.py:848-922).
+        """
+        from neural_radiance_caching_tpu.data import camera_utils
+        from neural_radiance_caching_tpu.ops import render_utils
+
+        H, W = self.test_dataset.height, self.test_dataset.width
+        light_h, light_w = self._probe_resolution()
+        _, _, light_xyz, _ = render_utils.get_sphere_directions(
+            light_h, light_w, flip=self.config.flip_secondary
+        )
+        light_xyz = np.asarray(light_xyz)
+
+        origins = np.asarray(rays.origins).reshape(H, W, 3)[select_y, select_x]
+        dirs = np.asarray(rays.directions).reshape(H, W, 3)[select_y, select_x]
+        depth = np.asarray(distance_median).reshape(H, W)[select_y, select_x]
+        normal = np.asarray(normals).reshape(H, W, 3)[select_y, select_x]
+        position = origins + dirs * depth + 4e-1 * normal
+
+        cam_to_world = np.eye(4, dtype=np.float32)
+        cam_to_world[:3, -1] = position
+
+        secondary_rays = camera_utils.cast_spherical_rays(
+            cam_to_world,
+            light_h,
+            light_w,
+            self.config.near,
+            self.config.secondary_far,
+            light_idx=int(np.asarray(rays.light_idx).reshape(-1)[0]),
+        )
+
+        # Override directions with the probe's equirect direction grid and
+        # copy the primary camera's frame fields so shaders see a consistent
+        # camera (reference _update_secondary_rays, trainer.py:925-1025).
+        first = lambda a, d: np.asarray(a).reshape(-1, d)[0]
+        fill = lambda ref, vec: np.broadcast_to(
+            np.asarray(vec, np.float32), np.asarray(ref).shape
+        )
+        secondary_rays = dataclasses.replace(
+            secondary_rays,
+            directions=light_xyz.reshape(secondary_rays.directions.shape),
+            viewdirs=light_xyz.reshape(secondary_rays.viewdirs.shape),
+            lights=fill(secondary_rays.lights, first(rays.lights, 3)),
+            imageplane=fill(secondary_rays.imageplane, first(rays.imageplane, 2)),
+            look=fill(secondary_rays.look, first(rays.look, 3)),
+            up=fill(secondary_rays.up, first(rays.up, 3)),
+            cam_origins=fill(secondary_rays.cam_origins, first(rays.cam_origins, 3)),
+            vcam_look=fill(secondary_rays.vcam_look, first(rays.look, 3)),
+            vcam_up=fill(secondary_rays.vcam_up, first(rays.up, 3)),
+            vcam_origins=fill(
+                secondary_rays.vcam_origins, first(rays.cam_origins, 3)
+            ),
+        )
+        flat_rays = jax.tree_util.tree_map(
+            lambda x: None
+            if x is None
+            else np.asarray(x).reshape((-1,) + np.asarray(x).shape[2:]),
+            secondary_rays,
+        )
+
+        if getattr(self, "_render_secondary_fn", None) is None:
+            passes = ("cache", "light", "is_secondary")
+            if self.vis_surface_light_field:
+                passes = passes + ("surface_light_field_vis",)
+            self._render_secondary_fn = train_lib.create_render_fn(
+                self.model, mesh=self.mesh, passes=passes
+            )
+        return renderer.render_image(
+            self._render_secondary_fn,
+            self.state.params,
+            flat_rays,
+            self.render_rng,
+            self.config,
+            height=light_h,
+            width=light_w,
+            train_frac=train_frac,
+        )
+
+    def render_vmf(self, rendering, select_x, select_y):
+        """Equirect image of the light sampler's vMF mixture at one pixel
+        (trainer.py:1026-1069). Needs a rendering made with the
+        "light_sampler_vis" pass; returns None if the keys are absent."""
+        from neural_radiance_caching_tpu.ops import render_utils
+
+        if "vmf_means" not in rendering:
+            return None
+        light_h, light_w = self._probe_resolution()
+        _, _, light_xyz, _ = render_utils.get_sphere_directions(
+            light_h, light_w, flip=self.config.flip_secondary
+        )
+        means = np.asarray(rendering["vmf_means"])[select_y, select_x]
+        means = means / np.maximum(
+            np.linalg.norm(means, axis=-1, keepdims=True), 1e-5
+        )
+        kappas = np.asarray(rendering["vmf_kappas"])[select_y, select_x, ..., 0]
+        weights = np.exp(np.asarray(rendering["vmf_logits"])[select_y, select_x, ..., 0])
+        weights = weights / weights.sum(-1, keepdims=True)
+        density = np.sum(
+            weights
+            * np.asarray(
+                render_utils.eval_vmf(
+                    np.asarray(light_xyz)[..., None, :], means, kappas
+                )
+            ),
+            axis=-1,
+        ).reshape(light_h, light_w, 1)
+        return np.asarray(
+            image_lib.linear_to_srgb(np.repeat(density, 3, axis=-1))
+        )
+
+    def _visualize_secondary(self, step, rendering, rays, train_frac):
+        """Run the probe + vMF vis and save PNGs (trainer.py:1991-2052)."""
+        if "distance_median" not in rendering:
+            return
+        normals_key = (
+            "normals_to_use" if "normals_to_use" in rendering else "normals"
+        )
+        if normals_key not in rendering:
+            return
+        H, W = self.test_dataset.height, self.test_dataset.width
+        select_x = int(np.round(W * 0.3))
+        select_y = int(np.round(H * 0.6))
+        secondary = self.render_secondary_rays(
+            rays,
+            rendering["distance_median"],
+            rendering[normals_key],
+            select_x,
+            select_y,
+            train_frac,
+        )
+        suite = (
+            vis_lib.visualize_transient_suite
+            if self.use_transient
+            else vis_lib.visualize_suite
+        )
+        vis = suite(secondary, self.config)
+        if self.save_dir and self.save_results:
+            out_dir = os.path.join(self.save_dir, "secondary")
+            os.makedirs(out_dir, exist_ok=True)
+            vis_lib.save_vis_suite(vis, out_dir, step)
+        vmf_img = self.render_vmf(rendering, select_x, select_y)
+        if vmf_img is not None and self.save_dir and self.save_results:
+            out_dir = os.path.join(self.save_dir, "vmf")
+            os.makedirs(out_dir, exist_ok=True)
+            vis_lib.save_img_u8(vmf_img, os.path.join(out_dir, f"{step:06d}.png"))
+        return secondary
+
     def log_test_set_evaluation(self, step, train_frac):
         cam_idx = step % self.test_dataset.num_images
         t0 = time.time()
@@ -637,6 +796,8 @@ class Trainer:
                 np.save(os.path.join(d, f"{step:06d}.npy"), rendering["rgb"])
             if self.use_transient and "cache_rgb" in rendering:
                 self._save_transient_h5(rendering, step)
+        if self.vis_secondary:
+            self._visualize_secondary(step, rendering, batch.rays, train_frac)
         print(
             f"eval step={step} cam={cam_idx} "
             + " ".join(f"{k}={v:.4f}" for k, v in metrics.items())

@@ -89,6 +89,40 @@ def get_directions(envmap_h, envmap_w):
     return omega_theta, omega_phi, omega_xyz, dtheta_dphi
 
 
+def get_sphere_directions(height, width, flip=False):
+    """Equirect sphere directions with the Trainer probe's convention
+    (reference utils.py:55-84): phi runs π→-π, and `flip` swaps the pole axis
+    to -x for captures whose light frame is x-forward."""
+    phi, theta = jnp.meshgrid(
+        jnp.linspace(jnp.pi, -jnp.pi, width, endpoint=False)
+        - 2.0 * jnp.pi / (2.0 * width),
+        jnp.linspace(0.0, jnp.pi, height, endpoint=False)
+        + jnp.pi / (2.0 * height),
+    )
+    dtheta_dphi = (2.0 * jnp.pi / width) * (jnp.pi / height)
+    theta = theta.flatten()
+    phi = phi.flatten()
+    if flip:
+        xyz = jnp.stack(
+            [
+                -jnp.cos(theta),
+                jnp.sin(theta) * jnp.cos(phi),
+                jnp.sin(theta) * jnp.sin(phi),
+            ],
+            axis=-1,
+        )
+    else:
+        xyz = jnp.stack(
+            [
+                jnp.sin(theta) * jnp.cos(phi),
+                jnp.sin(theta) * jnp.sin(phi),
+                jnp.cos(theta),
+            ],
+            axis=-1,
+        )
+    return theta, phi, xyz, dtheta_dphi
+
+
 # --- 2D sample generators ----------------------------------------------------
 
 

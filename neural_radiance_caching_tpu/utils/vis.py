@@ -226,6 +226,20 @@ def visualize_transient_suite(rendering: Dict[str, Any], config=None,
     return vis
 
 
+def save_img_u8(img, path):
+    """Write one [H, W, 3] float buffer in [0, 1] as an 8-bit PNG."""
+    from PIL import Image
+
+    arr = np.asarray(img)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    if arr.shape[-1] == 1:
+        arr = arr.repeat(3, -1)
+    Image.fromarray(
+        (np.clip(np.nan_to_num(arr), 0, 1) * 255).astype(np.uint8)
+    ).save(path)
+
+
 def save_vis_suite(vis: Dict[str, np.ndarray], out_dir: str, step: int):
     """Write each buffer as a PNG under out_dir/<key>/<step>.png."""
     import os
