@@ -1666,11 +1666,18 @@ class SyntheticSpheres(Dataset):
         super().__init__(split, data_dir, config)
 
     def _trace(self, origins, dirs):
-        """Analytic ray tracing of the sphere scene; returns rgb + alpha."""
+        """Analytic ray tracing of the sphere scene.
+
+        Returns (rgb, alpha, t_hit, light_dist): hit distance along the ray
+        and surface→light distance feed the transient (time-binned) variant.
+        """
         n = origins.shape[0]
         best_t = np.full((n,), np.inf, np.float32)
         rgb = np.ones((n, 3), np.float32)  # white background
         alpha = np.zeros((n,), np.float32)
+        light_dist = np.zeros((n,), np.float32)
+        albedo_out = np.ones((n, 3), np.float32)
+        normal_out = np.zeros((n, 3), np.float32)
         for center, radius, albedo in self.SPHERES:
             center = np.array(center, np.float32)
             oc = origins - center
@@ -1692,7 +1699,27 @@ class SyntheticSpheres(Dataset):
             rgb[hit] = np.array(albedo, np.float32) * shade
             best_t[hit] = t[hit]
             alpha[hit] = 1.0
-        return rgb, alpha
+            light_dist[hit] = dist[..., 0]
+            albedo_out[hit] = np.array(albedo, np.float32)
+            normal_out[hit] = normal
+        return rgb, alpha, best_t, light_dist, albedo_out, normal_out
+
+    def _bin_transient(self, rgb, alpha, t_hit, light_dist, config):
+        """Scatter the direct response into time bins at the total path
+        length (camera→surface→light) / exposure_time — the same convention
+        as render.shift_direct, so the model's direct pulse can match it."""
+        n_bins = config.n_bins
+        n = rgb.shape[0]
+        out = np.zeros((n, n_bins, 3), np.float32)
+        hit = alpha > 0
+        bin_f = (t_hit[hit] + light_dist[hit]) / config.exposure_time
+        bin_f = np.clip(bin_f, 0, n_bins - 1 - 1e-4)
+        b0 = np.floor(bin_f).astype(np.int32)
+        frac = (bin_f - b0)[:, None]
+        idx = np.nonzero(hit)[0]
+        out[idx, b0] += rgb[hit] * (1 - frac)
+        out[idx, b0 + 1] += rgb[hit] * frac
+        return out
 
     def _load_renderings(self, config):
         res = self._resolution
@@ -1708,15 +1735,29 @@ class SyntheticSpheres(Dataset):
 
         images = []
         alphas = []
+        albedo_maps = []
+        normal_maps = []
         for c2w in camtoworlds:
             out = camera_utils.pixels_to_rays(pix_x, pix_y, pixtocam[None], c2w[None], xnp=np)
             origins, _, viewdirs = out[0], out[1], out[2]
-            rgb, alpha = self._trace(origins.reshape(-1, 3), viewdirs.reshape(-1, 3))
-            images.append(rgb.reshape(res, res, 3))
+            rgb, alpha, t_hit, light_dist, albedo, normal = self._trace(
+                origins.reshape(-1, 3), viewdirs.reshape(-1, 3)
+            )
+            if config.use_transient:
+                transient = self._bin_transient(rgb, alpha, t_hit, light_dist, config)
+                images.append(transient.reshape(res, res, config.n_bins, 3))
+            else:
+                images.append(rgb.reshape(res, res, 3))
             alphas.append(alpha.reshape(res, res))
+            albedo_maps.append(albedo.reshape(res, res, 3))
+            normal_maps.append(normal.reshape(res, res, 3))
         self.images = np.stack(images).astype(np.float32)
         self.alphas = np.stack(alphas).astype(np.float32)
         self.masks = self.alphas[..., None]
+        if self._load_albedos:
+            self.albedo_images = np.stack(albedo_maps).astype(np.float32)
+        if self._load_normals:
+            self.normal_images = np.stack(normal_maps).astype(np.float32)
         self.pixtocams = pixtocam[None].astype(np.float32)
         self.camtoworlds = camtoworlds
         self.lights = np.broadcast_to(self.LIGHT, (self._num_images, 3)).copy()

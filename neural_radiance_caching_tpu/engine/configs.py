@@ -107,6 +107,34 @@ class Config:
     compute_disp_metrics: bool = False
     compute_normal_metrics: bool = False
     compute_albedo_metrics: bool = False
+    compute_depth_metrics: bool = True
+    compute_transient_metrics: bool = False
+    correct_eval: bool = False  # Procrustes camera alignment before eval.
+    # Shift-invariant eval metrics (ops/image.py): search-window for the best
+    # integer-pixel shift (reference configs.py:667-670).
+    use_shift_invariance: bool = False
+    shift_invariant_start: int = -4
+    shift_invariant_end: int = 4
+    shift_invariant_step: int = 1
+    # Transient vis: bin range scrubbed over the eval sequence
+    # (reference trainer.py:1704).
+    transient_start_idx: int = 0
+    transient_end_idx: int = 1000
+    var_scale: float = 1.0  # Scale on visualized rgb variance (vis.py:328).
+    secondary_rays_no_vis_transform: bool = False  # Probe camera orientation.
+    # --- reference-compat fields: declared + gin-bound by the reference's
+    # published configs but consumed NOWHERE in the reference either; accepted
+    # here so those configs parse verbatim (do not add consumers without a
+    # spec to match).
+    rawnerf_min: float = 1e-4
+    rawnerf_min_material: float = 1e-4
+    use_combined_rawnerf_material: bool = True
+    use_surfaces: bool = False
+    light_name: Optional[str] = None
+    use_geometry_weight_decay: bool = False
+    geometry_weight_decay_frac: float = 0.0
+    geometry_weight_decay_start: float = 0.0
+    geometry_weight_decay_min: float = 0.0
     use_masks: bool = False
     near: float = 2.0
     far: float = 6.0
@@ -333,6 +361,13 @@ class Config:
     normal_weight_ease_frac: float = 0.0
     normal_weight_ease_start: float = 0.0
     normal_weight_ease_min: float = 0.0
+    # Normal-loss weight DECAY (reference configs.py:389-393): a late-training
+    # ramp-down multiplying the orientation/predicted-normal losses.
+    use_normal_weight_decay: bool = False
+    use_normal_weight_decay_backward: bool = False
+    normal_weight_decay_start: float = 0.0
+    normal_weight_decay_frac: float = 0.1
+    normal_weight_decay_min: float = 0.01
     eikonal_loss_mult: float = 0.0
     eikonal_coarse_loss_mult: float = 0.0
     param_regularizers: Dict[str, Any] = dataclasses.field(default_factory=dict)

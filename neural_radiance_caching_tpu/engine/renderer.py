@@ -59,6 +59,7 @@ def render_image(
             lambda x: _pad_rows(np.asarray(x[start:stop]), chunk), rays
         )
         mean_out: Dict[str, np.ndarray] = {}
+        m2_out: Dict[str, np.ndarray] = {}
         for rep in range(render_repeats):
             rep_rng = jax.random.fold_in(rng, count * 131 + rep)
             out = render_fn(variables, rep_rng, train_frac, chunk_rays)
@@ -72,12 +73,22 @@ def render_image(
                     continue
                 v = np.nan_to_num(np.asarray(v, np.float32)[: stop - start])
                 if k in mean_out:
-                    # Welford running mean over repeats.
-                    mean_out[k] += (v - mean_out[k]) / (rep + 1)
+                    # Welford running mean/M2 over repeats
+                    # (reference models.py:2443-2521).
+                    delta = v - mean_out[k]
+                    mean_out[k] += delta / (rep + 1)
+                    if k == "rgb":
+                        m2_out[k] += delta * (v - mean_out[k])
                 else:
                     mean_out[k] = v
+                    if k == "rgb":
+                        m2_out[k] = np.zeros_like(v)
         for k, v in mean_out.items():
             accum.setdefault(k, []).append(v)
+        if render_repeats > 1 and "rgb" in m2_out:
+            accum.setdefault("rgb_variance", []).append(
+                m2_out["rgb"] / max(render_repeats - 1, 1)
+            )
         count += 1
 
     images = {k: np.concatenate(v, axis=0) for k, v in accum.items()}

@@ -39,6 +39,7 @@ from neural_radiance_caching_tpu.ops import image as image_lib
 from neural_radiance_caching_tpu.parallel import mesh as mesh_lib
 from neural_radiance_caching_tpu.parallel import train as train_lib
 from neural_radiance_caching_tpu.utils import checkpoints as ckpt_lib
+from neural_radiance_caching_tpu.utils import pytrees
 from neural_radiance_caching_tpu.utils import vis as vis_lib
 
 # Minimal built-in registry; configs/trainer.gin binds the full one
@@ -356,8 +357,10 @@ class Trainer:
             f"Config.lr_init = {self.lr_init}",
             f"Config.lr_final = {self.lr_final}",
             f"Config.lr_delay_steps = {self.lr_delay_steps}",
-            f"Config.extra_opt_params = {self.extra_opt_params!r}",
-            f"Config.extra_losses = {self.extra_losses!r}",
+# (extra_opt_params / extra_losses / param_regularizers are bound
+            # directly below: they can hold function objects — e.g.
+            # @jnp.mean inside param_regularizers — whose repr() does not
+            # round-trip through the gin parser.)
             f"Config.finetune_cache = {self.finetune_cache}",
             f"Config.cache_consistency_loss_type = {self.cache_consistency_loss_type!r}",
             f"Config.cache_consistency_loss_weight = {self.cache_consistency_loss_weight}",
@@ -451,13 +454,16 @@ class Trainer:
                 f"Config.num_surface_light_field_samples = "
                 f"{self.num_surface_light_field_samples}"
             )
-        if self.param_regularizers is not None:
-            b.append(f"Config.param_regularizers = {self.param_regularizers!r}")
         if not self.optimize_cache:
             b.append(f"{self.material_mlp_name}.enable_normals_offset = False")
 
         self.bindings = b
         gin.parse_config("\n".join(b))
+        # Object-valued bindings (may contain function references).
+        gin.bind("Config", "extra_opt_params", self.extra_opt_params)
+        gin.bind("Config", "extra_losses", self.extra_losses)
+        if self.param_regularizers is not None:
+            gin.bind("Config", "param_regularizers", self.param_regularizers)
         self.config = configs_lib.Config()
         if self.config.checkpoint_dir:
             os.makedirs(self.config.checkpoint_dir, exist_ok=True)
@@ -598,6 +604,22 @@ class Trainer:
     def render_test_view(self, cam_idx, train_frac):
         """Render one held-out view; returns (rendering dict, gt batch)."""
         batch = self.test_dataset.generate_ray_batch(cam_idx)
+        if isinstance(batch.rays, pytrees.Pixels):
+            # cast_rays_in_train_step mode ships Pixels; eval casts host-side
+            # without jitter (reference trainer.py:1226-1234).
+            from neural_radiance_caching_tpu.data import camera_utils
+
+            ds = self.test_dataset
+            rays = camera_utils.cast_ray_batch(
+                ds.cameras, ds.lights, batch.rays, xnp=np,
+                impulse_response=ds.impulse_response,
+                virtual_cameras=(
+                    None
+                    if ds.virtual_camtoworlds is ds.camtoworlds
+                    else (ds.pixtocams, ds.virtual_camtoworlds)
+                ),
+            )
+            batch = batch.replace(rays=rays)
         H, W = self.test_dataset.height, self.test_dataset.width
         rendering = renderer.render_image(
             self.render_eval_fn,
@@ -819,6 +841,19 @@ class Trainer:
             gt_pp = self.postprocess_fn(gt)
             if gt_pp.shape == pred.shape:
                 metrics.update(self.metric_harness(pred, gt_pp))
+                if config.use_shift_invariance and pred.ndim == 3:
+                    # Best-shift PSNR over an integer-pixel search window
+                    # (image.py:70-191): robust to slight camera miscalib.
+                    radius = max(
+                        abs(config.shift_invariant_start),
+                        abs(config.shift_invariant_end),
+                    )
+                    si_mse, _, _ = image_lib.shift_invariant_mse(
+                        pred, gt_pp, (radius, radius), 2
+                    )
+                    metrics["psnr_shift_invariant"] = float(
+                        -10.0 * np.log10(float(si_mse) + 1e-12)
+                    )
 
         masks = (
             np.asarray(batch.masks).reshape(H, W, -1)[..., :1]
@@ -850,7 +885,11 @@ class Trainer:
                 metrics["mae"] = float(np.mean(angles * masks.reshape(-1)))
 
         # Depth L1 (trainer.py:1756-1799).
-        if batch.depth is not None and "distance_mean" in rendering:
+        if (
+            config.compute_depth_metrics
+            and batch.depth is not None
+            and "distance_mean" in rendering
+        ):
             depth_gt = np.asarray(batch.depth).reshape(H, W)
             for key, name in (("distance_median", "l1_median"),
                               ("distance_mean", "l1_mean")):
@@ -864,9 +903,10 @@ class Trainer:
                         (l1 * masks[..., 0]).sum() / masks.sum()
                     )
 
-        # Albedo PSNR with a global least-squares color calibration
-        # (trainer.py:1499-1582, 2202-2240 — per-run ratio simplified to
-        # per-image when no accumulated ratio is available).
+        # Albedo PSNR with a global color calibration (trainer.py:1499-1582):
+        # self.albedo_ratio is the run-level median/lstsq ratio computed by
+        # _compute_albedo_ratio in vis_only mode; the per-image lstsq is the
+        # online fallback during training-time eval.
         if batch.albedos is not None and "material_albedo" in rendering:
             albedo_gt = np.asarray(batch.albedos).reshape(-1, 3)
             albedo = np.clip(
@@ -900,11 +940,31 @@ class Trainer:
 
         d = os.path.join(self.save_dir, "transients")
         os.makedirs(d, exist_ok=True)
+        transient = np.nan_to_num(np.asarray(rendering["cache_rgb"]))
         with h5py.File(os.path.join(d, f"{step:06d}.h5"), "w") as f:
-            f.create_dataset(
-                "data", data=np.nan_to_num(np.asarray(rendering["cache_rgb"])),
-                dtype="f",
-            )
+            f.create_dataset("data", data=transient, dtype="f")
+        self._save_transient_time_slice(transient, step)
+
+    def _save_transient_time_slice(self, transient, step):
+        """One time-bin slice per eval view, scrubbing bins
+        transient_start_idx → transient_end_idx over the sequence
+        (reference trainer.py:1698-1750)."""
+        if transient.ndim < 4:
+            return
+        n_bins = transient.shape[-2]
+        total = max(self.test_dataset.num_images, 1)
+        frac = (step % total) / float(total)
+        t = self.config.transient_start_idx + frac * (
+            min(self.config.transient_end_idx, n_bins - 1)
+            - self.config.transient_start_idx
+        )
+        t0, t1 = int(np.floor(t)), min(int(np.ceil(t)), n_bins - 1)
+        w = t - t0
+        sl = transient[..., t0, :] * (1 - w) + transient[..., t1, :] * w
+        d = os.path.join(self.save_dir, "cache_time_slice")
+        os.makedirs(d, exist_ok=True)
+        peak = float(np.max(sl) + 1e-12)
+        vis_lib.save_img_u8(sl / peak, os.path.join(d, f"{step:06d}.png"))
 
     # --- train -----------------------------------------------------------------
 
@@ -917,7 +977,9 @@ class Trainer:
             if config.early_exit_steps is not None
             else self.max_steps
         )
-        raybatcher = datasets.RayBatcher(self.dataset)
+        raybatcher = mesh_lib.DevicePrefetcher(
+            datasets.RayBatcher(self.dataset), self.mesh
+        )
         rng = jax.random.fold_in(self.rng, jax.process_index())
 
         init_step = int(jax.device_get(self.state.step)) // self.grad_accum_steps + 1
@@ -934,12 +996,23 @@ class Trainer:
             else None
         )
 
+        batch = None
         for step in range(init_step, num_steps + 1):
-            for _ in range(self.grad_accum_steps):
-                batch = mesh_lib.shard_batch(next(raybatcher), self.mesh)
+            for s in range(self.grad_accum_steps):
+                # Device batches arrive from the prefetch thread (transfer of
+                # batch N+1 overlaps step N); with secondary accumulation the
+                # same batch feeds several consecutive secondary-ray draws
+                # (reference trainer.py:2113-2119).
+                if batch is None or s % self.secondary_grad_accum_steps == 0:
+                    batch = next(raybatcher)
                 cur_step = step - 1
                 train_frac = float(np.clip(cur_step / max(1, self.max_steps - 1), 0, 1))
-                self.state, stats = self.train_step(rng, self.state, batch, train_frac)
+                with jax.profiler.StepTraceAnnotation(
+                    "train", step_num=step * self.grad_accum_steps + s
+                ):
+                    self.state, stats = self.train_step(
+                        rng, self.state, batch, train_frac
+                    )
 
             if step % config.gc_every == 0:
                 gc.collect()
@@ -989,12 +1062,58 @@ class Trainer:
         self.save_checkpoint(num_steps)
         raybatcher.stop()
 
+    def _compute_albedo_ratio(self, n_views):
+        """Run-level albedo color calibration (reference trainer.py:2202-2240).
+
+        Pre-pass over every 10th test view: collect masked (gt, pred) albedo
+        pairs, then solve for a global per-channel ratio — the median of
+        gt/pred, or a per-channel least-squares fit in gamma space (the
+        reference's channel-zeroed block lstsq reduces to exactly this
+        per-channel scalar solve).
+        """
+        gts, preds = [], []
+        for idx in range(self.vis_start, n_views, 10):
+            rendering, batch = self.render_test_view(idx, 1.0)
+            if batch.albedos is None or "material_albedo" not in rendering:
+                return
+            gt = np.asarray(batch.albedos).reshape(-1, 3)
+            pred = np.clip(
+                np.asarray(rendering["material_albedo"]).reshape(-1, 3),
+                0.0, self.albedo_clip,
+            )
+            if batch.masks is not None:
+                m = np.asarray(batch.masks).reshape(-1, batch.masks.shape[-1])
+                m = m[..., 0] > 0.5
+                gt, pred = gt[m], pred[m]
+            gts.append(gt)
+            preds.append(pred)
+        if not gts:
+            return
+        gt = np.concatenate(gts, axis=0)
+        pred = np.concatenate(preds, axis=0)
+        if self.albedo_correct_median:
+            ratio = np.median(gt / np.clip(pred, 1e-6, 1.0), axis=0)
+        else:
+            if self.albedo_gamma:
+                gt, pred = gt ** (1 / 2.2), pred ** (1 / 2.2)
+            ratio = (gt * pred).sum(axis=0) / np.maximum(
+                (pred ** 2).sum(axis=0), 1e-8
+            )
+            if self.albedo_gamma:
+                ratio = ratio ** 2.2
+        self.albedo_ratio = ratio.reshape(1, 3)
+        if self.save_dir:
+            np.save(os.path.join(self.save_dir, "albedo_ratio.npy"),
+                    self.albedo_ratio)
+
     def _run_visualization_only(self):
         """Render the full test set, write metrics to results.txt
         (trainer.py:2168-2200)."""
         if self.save_dir:
             os.makedirs(self.save_dir, exist_ok=True)
         n_views = min(self.test_dataset.num_images, self.vis_end)
+        if self.config.compute_albedo_metrics and self.albedo_ratio is None:
+            self._compute_albedo_ratio(n_views)
         for idx in range(self.vis_start, n_views):
             self.log_test_set_evaluation(idx, 1.0)
         for k, v in self.metric_list.items():

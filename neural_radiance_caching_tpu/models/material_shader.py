@@ -797,10 +797,16 @@ class BaseMaterialMLP(shading.BaseShader):
                 if self.use_brdf_correction
                 else jnp.ones_like(ref_samples["local_lightdirs"][..., :2])
             )
+            # acc is per-shadow-ray; the active closure repeats it to
+            # num_rgb_channels, so realign rows to rgb's (points, samples)
+            # layout and keep one channel.
+            occ_acc = ref_sampler_results[-1]["acc"].reshape(
+                rgb.shape[0], rgb.shape[1], -1
+            )[..., :1]
             ref_samples.update(
                 {
                     "radiance_in": rgb,
-                    "indirect_occ": ref_sampler_results[-1]["acc"][..., None],
+                    "indirect_occ": occ_acc,
                     "radiance_in_no_stopgrad": rgb_ns,
                     "brdf_correction": brdf_correction,
                 }
@@ -1200,9 +1206,12 @@ class BaseMaterialMLP(shading.BaseShader):
             v = outputs[k]
             if not isinstance(v, jnp.ndarray):
                 continue
-            if "transient" in k and self.config.use_transient:
+            # Rank-aware: any time-binned buffer (one extra bins axis, e.g.
+            # indirect_*_rgb in transient mode — not only keys named
+            # "transient") gets the mask inserted before the bins axis.
+            if self.config.use_transient and v.ndim == mask.ndim + 1:
                 outputs[k] = stopgrad_with_weight(v, mask[..., None, :])
-            elif "transient" not in k:
+            elif v.ndim == mask.ndim:
                 outputs[k] = stopgrad_with_weight(v, mask)
 
 

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from neural_radiance_caching_tpu.engine import gin_config as gin
 from neural_radiance_caching_tpu.ops import math as math_utils
 from neural_radiance_caching_tpu.ops import ref_utils
 from neural_radiance_caching_tpu.utils.jaxutil import random_split
@@ -398,6 +399,7 @@ class MicrofacetSampler:
         return jnp.maximum(pdf, 0.0)
 
 
+@gin.configurable
 class EnvironmentSampler:
     """Importance sampler over a known environment map's pmf."""
 

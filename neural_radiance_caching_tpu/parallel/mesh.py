@@ -62,6 +62,56 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(put, batch)
 
 
+class DevicePrefetcher:
+    """Pipelines host→device transfer one step ahead of compute.
+
+    Wraps a host-batch iterator (e.g. RayBatcher); a daemon thread calls
+    `shard_batch` (async `jax.device_put`) so the transfer of batch N+1
+    overlaps the train step on batch N. The jit-level equivalent of the
+    reference's `flax.jax_utils.prefetch_to_device(..., 3)`
+    (engine/trainer.py:2087) for NamedSharding arrays.
+    """
+
+    def __init__(self, it, mesh: Mesh, buffer_size: int = 2):
+        import queue as _queue
+        import threading
+
+        self._it = it
+        self._queue: "_queue.Queue" = _queue.Queue(buffer_size)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._run, args=(mesh,), daemon=True
+        )
+        self._thread.start()
+
+    def _run(self, mesh):
+        while not self._stop.is_set():
+            try:
+                batch = shard_batch(next(self._it), mesh)
+            except StopIteration:
+                self._queue.put(None)
+                return
+            self._queue.put(batch)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        batch = self._queue.get()
+        if batch is None:
+            raise StopIteration
+        return batch
+
+    def stop(self):
+        self._stop.set()
+        try:
+            self._queue.get_nowait()
+        except Exception:
+            pass
+        if hasattr(self._it, "stop"):
+            self._it.stop()
+
+
 def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params/state) onto every device in the mesh."""
     sharding = replicated_sharding(mesh)

@@ -176,8 +176,21 @@ def _compute_losses_for_output(
             ray_history, config.distortion_loss_mult, config
         )
 
+    # Normal-loss weight decay (train_utils.py:3240-3300): late-training
+    # ramp-down shared by the orientation + predicted-normal losses.
+    decay = losses_lib.compute_weight_decay(
+        train_frac,
+        config.use_normal_weight_decay,
+        config.normal_weight_decay_start,
+        config.normal_weight_decay_frac,
+        config.normal_weight_decay_min,
+    )
+    decay_bwd = decay if config.use_normal_weight_decay_backward else 1.0
+
     if config.orientation_loss_mult > 0:
-        losses[prefix + "orientation"] = losses_lib.orientation_loss(rays, last, config)
+        losses[prefix + "orientation"] = (
+            losses_lib.orientation_loss(rays, last, config) * decay
+        )
 
     # Predicted-normal supervision with the ease-in schedule
     # (train_utils.py:3217-3302).
@@ -187,14 +200,14 @@ def _compute_losses_for_output(
         config.normal_weight_ease_start,
         config.normal_weight_ease_frac,
         config.normal_weight_ease_min,
-    )
+    ) * decay
     ease_bwd = losses_lib.compute_weight_ease_in(
         train_frac,
         config.use_normal_weight_ease_backward,
         config.normal_weight_ease_start,
         config.normal_weight_ease_frac,
         config.normal_weight_ease_min,
-    )
+    ) * decay_bwd
     beta = jnp.ones_like(last["weights"][..., :1])
     if config.predicted_normal_loss_mult > 0:
         losses[prefix + "predicted_normals"] = losses_lib.predicted_normal_loss(
@@ -245,6 +258,54 @@ def create_train_step(
     if mesh is None:
         mesh = mesh_lib.create_mesh()
 
+    # In-step ray casting (reference train_utils.py:2972-2978): when
+    # Config.cast_rays_in_train_step the batcher ships Pixels and the jitted
+    # step casts them against the (static) cameras — required for per-step
+    # ray jitter. Camera arrays are closed over as jit constants.
+    cast_cameras = None
+    if config.cast_rays_in_train_step and dataset is not None:
+        cast_cameras = {
+            "cameras": jax.tree_util.tree_map(
+                jnp.asarray, tuple(dataset.cameras[:3]) + (None,)
+            ),
+            "lights": jnp.asarray(dataset.lights),
+            "virtual": (
+                None
+                if dataset.virtual_camtoworlds is dataset.camtoworlds
+                else (
+                    jnp.asarray(dataset.pixtocams),
+                    jnp.asarray(dataset.virtual_camtoworlds),
+                )
+            ),
+            "impulse_response": (
+                None
+                if dataset.impulse_response is None
+                else jnp.asarray(dataset.impulse_response)
+            ),
+        }
+
+    def maybe_cast_rays(rng, rays):
+        if not isinstance(rays, pytrees.Pixels):
+            return rays
+        if cast_cameras is None:
+            raise ValueError(
+                "Batch contains Pixels but the train step has no cameras; "
+                "pass dataset= to create_train_step or disable "
+                "Config.cast_rays_in_train_step."
+            )
+        from neural_radiance_caching_tpu.data import camera_utils
+
+        return camera_utils.cast_ray_batch(
+            cast_cameras["cameras"],
+            cast_cameras["lights"],
+            rays,
+            rng=rng,
+            jitter=config.jitter_rays,
+            xnp=jnp,
+            impulse_response=cast_cameras["impulse_response"],
+            virtual_cameras=cast_cameras["virtual"],
+        )
+
     def forward(params, rng, rays, train_frac):
         return model.apply(
             params,
@@ -258,13 +319,21 @@ def create_train_step(
     if config.gradient_checkpointing:
         # Rematerialize the forward in the backward pass: NeRF activations
         # (per-sample MLP features over B*S samples) dominate HBM; recompute
-        # is cheap on the MXU. NOTE: remat over the Pallas scatter-add custom
-        # VJP crashes the TPU runtime (kernel re-execution under remat), so
-        # this flag currently requires the pure-XLA encoder path.
-        forward = jax.checkpoint(forward)
+        # is cheap on the MXU. Encoder outputs are tagged "grid_encode"
+        # (ops/hashgrid.py) and pinned as saved residuals so the row-gather
+        # forward is not recomputed and the Pallas scatter VJP executes
+        # exactly once — re-execution of the kernel under plain remat
+        # crashed the TPU runtime.
+        forward = jax.checkpoint(
+            forward,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "grid_encode"
+            ),
+        )
 
     def loss_fn(params, rng, batch, train_frac):
-        rays = batch.rays
+        cast_key = jax.random.fold_in(rng, 0xCA57)
+        rays = maybe_cast_rays(cast_key, batch.rays)
         model_results = forward(params, rng, rays, train_frac)
 
         if config.use_gradient_debias and "cache_main" in model_results:

@@ -128,6 +128,16 @@ def visualize_suite(rendering: Dict[str, Any], config=None, vis_material=False,
                 np.nan_to_num(np.asarray(rendering[key], np.float32)) * ones, 0, 1
             )
 
+    # MC-noise buffer: per-pixel variance over render repeats, scaled by
+    # Config.var_scale / img_scale (reference vis.py:328).
+    if "rgb_variance" in rendering and rendering["rgb_variance"] is not None:
+        var_scale = getattr(config, "var_scale", 1.0) if config is not None else 1.0
+        img_scale = getattr(config, "img_scale", 1.0) if config is not None else 1.0
+        vis["color_variance"] = _srgb(
+            np.abs(np.asarray(rendering["rgb_variance"], np.float32))
+            * (var_scale / img_scale)
+        )
+
     # Depth.
     if "acc" in rendering and "distance_mean" in rendering:
         acc = np.nan_to_num(np.asarray(rendering["acc"], np.float32))

@@ -13,10 +13,95 @@ import shlex
 import subprocess
 import sys
 
+# Scene -> config mapping (reference scripts/train_one_stage.py:9-114, kept to
+# entries whose config file actually exists; several reference entries point
+# at configs missing from its own tree and are dropped).
 SCENE_CONFIG_MAPPING = {
     # nerf-synthetic / TensoIR
     "lego": "nerf_ngp_yobo_lego",
     "hotdog": "nerf_ngp_yobo_hotdog",
+    "armadillo": "nerf_ngp_yobo_armadillo",
+    "ficus": "nerf_ngp_yobo_ficus",
+    "lego_pano": "blender_ngp_yobo_lego",
+    "lego_box": "blender_ngp_yobo_lego_box3",
+    # ORB
+    "gnome": "orb_ngp_yobo_gnome",
+    "pitcher": "orb_ngp_yobo_pitcher",
+    "cactus": "orb_ngp_yobo_cactus",
+    "teapot": "orb_ngp_yobo_teapot",
+    # NeILF / real captures / FIPT
+    "castel": "neilf_ngp_yobo_castel",
+    "neilf_cat": "neilf_cat_yobo",
+    "real_000": "real_ngp_yobo_000",
+    "fipt_kitchen": "synthetic_ngp_yobo_kitchen",
+    # OpenIllumination
+    "obj_02_egg": "open_ngp_yobo_egg",
+    "obj_04_stone": "open_ngp_yobo_stone",
+    "obj_05_bird": "open_ngp_yobo_bird",
+    "obj_17_box": "open_ngp_yobo_box",
+    "obj_26_pumpkin": "open_ngp_yobo_pumpkin",
+    "obj_29_hat": "open_ngp_yobo_hat",
+    "obj_35_cup": "open_ngp_yobo_cup",
+    "obj_36_sponge": "open_ngp_yobo_sponge",
+    "obj_42_banana": "open_ngp_yobo_banana",
+    "obj_48_bucket": "open_ngp_yobo_bucket",
+    "obj_car": "open_ngp_yobo_car",
+    # NeRO glossy
+    "glossy_bunny": "glossy_bunny_yobo",
+    "glossy_vase": "glossy_vase_yobo",
+    "nero_angel": "nero_ngp_yobo_angel",
+    "nero_tbell": "nero_ngp_yobo_tbell",
+    "nero_bell": "nero_ngp_yobo_bell",
+    "nero_cat": "nero_ngp_yobo_cat",
+    "nero_horse": "nero_ngp_yobo_horse",
+    "nero_luyu": "nero_ngp_yobo_luyu",
+    "nero_potion": "nero_ngp_yobo_potion",
+    "nero_teapot": "nero_ngp_yobo_teapot",
+    # InvProp simulated transients
+    "cornell": "transient_simulation_ngp_yobo_cornell",
+    "pots": "transient_simulation_ngp_yobo_pots",
+    "peppers": "transient_simulation_ngp_yobo_peppers",
+    "kitchen": "transient_simulation_ngp_yobo_kitchen",
+    "spheres": "transient_simulation_ngp_yobo_spheres",
+    "globe": "transient_simulation_ngp_yobo_globe",
+    "house": "transient_simulation_ngp_yobo_house",
+    # InvProp captured (FWP) + baselines / sensor variants
+    "statue": "transient_simulation_ngp_yobo_statue",
+    "kettle": "transient_simulation_ngp_yobo_kettle",
+    "statue_fwp": "transient_simulation_ngp_yobo_statue_fwp",
+    "kettle_fwp": "transient_simulation_ngp_yobo_kettle_fwp",
+    "globe_fwp": "transient_simulation_ngp_yobo_globe_fwp",
+    "house_fwp": "transient_simulation_ngp_yobo_house_fwp",
+    "spheres_fwp": "transient_simulation_ngp_yobo_spheres_fwp",
+    "cornell_fwp": "transient_simulation_ngp_yobo_cornell_fwp",
+    "cornell_fwp_dataset": "transient_simulation_ngp_yobo_cornell_fwp_dataset",
+    "peppers_fwp": "transient_simulation_ngp_yobo_peppers_fwp",
+    "pots_fwp": "transient_simulation_ngp_yobo_pots_fwp",
+    "statue_tnerf": "transient_simulation_ngp_yobo_statue_tnerf",
+    "kettle_tnerf": "transient_simulation_ngp_yobo_kettle_tnerf",
+    "spheres_tnerf": "transient_simulation_ngp_yobo_spheres_tnerf",
+    "globe_tnerf": "transient_simulation_ngp_yobo_globe_tnerf",
+    "house_tnerf": "transient_simulation_ngp_yobo_house_tnerf",
+    "cornell_tnerf": "transient_simulation_ngp_yobo_cornell_tnerf",
+    "peppers_tnerf": "transient_simulation_ngp_yobo_peppers_tnerf",
+    "pots_tnerf": "transient_simulation_ngp_yobo_pots_tnerf",
+    "kitchen_tnerf": "transient_simulation_ngp_yobo_kitchen_tnerf",
+    "kettle_views_removed": "transient_simulation_ngp_yobo_kettle_views_removed",
+    "cornell_itof": "transient_simulation_ngp_yobo_cornell_itof",
+    "kitchen_itof": "transient_simulation_ngp_yobo_kitchen_itof",
+    "pots_itof": "transient_simulation_ngp_yobo_pots_itof",
+    "peppers_itof": "transient_simulation_ngp_yobo_peppers_itof",
+    "spheres_itof": "transient_simulation_ngp_yobo_spheres_itof",
+    "house_itof": "transient_simulation_ngp_yobo_house_itof",
+    "cornell_steady_state": "transient_simulation_ngp_yobo_cornell_steady_state",
+    "kitchen_steady_state": "transient_simulation_ngp_yobo_kitchen_steady_state",
+    "pots_steady_state": "transient_simulation_ngp_yobo_pots_steady_state",
+    "peppers_steady_state": "transient_simulation_ngp_yobo_peppers_steady_state",
+    "spheres_steady_state": "transient_simulation_ngp_yobo_spheres_steady_state",
+    "globe_steady_state": "transient_simulation_ngp_yobo_globe_steady_state",
+    "house_steady_state": "transient_simulation_ngp_yobo_house_steady_state",
+    "peppers_steady": "transient_simulation_steady_ngp_yobo_peppers",
+    "pots_kitchen": "transient_simulation_ngp_yobo_pots_kitchen",
     # procedural test scene
     "spheres_test": "synthetic_spheres",
 }
@@ -104,6 +189,8 @@ def build_command(args, checkpoint_dir, partial_checkpoint_dir):
         )
     if args.early_exit_steps > 0:
         cmd.append(f"--gin_bindings=Config.early_exit_steps={args.early_exit_steps}")
+    for b in args.gin_bindings or ():
+        cmd.append(f"--gin_bindings={b}")
     return cmd
 
 
@@ -143,6 +230,10 @@ def main():
     parser.add_argument("--secondary_grad_accum_steps", type=int, default=1)
     parser.add_argument("--early_exit_steps", type=int, default=0)
     parser.add_argument("--train_render_every", type=int, default=1000)
+    parser.add_argument(
+        "--gin_bindings", action="append", default=[],
+        help="Extra gin bindings appended verbatim (repeatable).",
+    )
     args = parser.parse_args()
 
     if not args.config_file:
