@@ -31,31 +31,7 @@ from neural_radiance_caching_tpu.utils.jaxutil import stopgrad_with_weight
 
 @gin.configurable
 class BaseMaterialModel(nerf_model.Model):
-    use_material: bool = True
-    use_light_sampler: bool = True
-
-    use_resample_depth: bool = False
-    depth_key: str = "distance_median"
-
-    loss_weight: float = 1.0
-    loss: str = "rawnerf_unbiased"
-    linear_to_srgb: bool = False
-
-    cache_loss_weight: float = 1.0
-    cache_loss: str = "charb"
-    cache_linear_to_srgb: bool = True
-
-    material_loss_weight: float = 1.0
-    material_loss: str = "rawnerf_unbiased"
-    material_linear_to_srgb: bool = False
-
-    stopgrad_samples: bool = False
-    slf_variate: bool = True
-
-    share_material: bool = False
-    share_light_power: bool = False
-    use_vignette: bool = False
-
+    # Sub-module constructor params (each a kwargs dict or None).
     cache_model_params: Any = None
     light_sampler_params: Any = None
     sampler_params: Any = None
@@ -63,6 +39,27 @@ class BaseMaterialModel(nerf_model.Model):
     integrator_params: Any = None
     extra_model_params: Any = None
 
+    # Which heads exist.
+    use_material: bool = True
+    use_light_sampler: bool = True
+    use_vignette: bool = False
+    share_material: bool = False
+    share_light_power: bool = False
+
+    # Per-head data-loss settings (consumed by the loss assembly via the
+    # output dicts; gin-bound names match reference models.py:818-860).
+    loss: str = "rawnerf_unbiased"
+    loss_weight: float = 1.0
+    linear_to_srgb: bool = False
+    cache_loss: str = "charb"
+    cache_loss_weight: float = 1.0
+    cache_linear_to_srgb: bool = True
+    material_loss: str = "rawnerf_unbiased"
+    material_loss_weight: float = 1.0
+    material_linear_to_srgb: bool = False
+
+    # Resampled-estimator knobs: how cache samples collapse to the
+    # num_resample surface points the material pass shades.
     resample: bool = False
     resample_render: bool = False
     resample_secondary: bool = False
@@ -70,16 +67,22 @@ class BaseMaterialModel(nerf_model.Model):
     logits_mult: float = 1.0
     logits_mult_secondary: float = 1.0
     weights_bias: float = 0.0
+    use_resample_depth: bool = False
+    depth_key: str = "distance_median"
 
+    # Gradient-flow control between the material head and cache geometry:
+    # 0.0 = full stop-gradient, 1.0 = gradients flow.
+    stopgrad_samples: bool = False
     stopgrad_geometry_weight: float = 0.0
     stopgrad_geometry_variate_weight: float = 0.0
     stopgrad_geometry_feature_weight: float = 0.0
     stopgrad_geometry_normals_weight: float = 1.0
-
     stopgrad_geometry_weight_consistency: float = 0.0
     stopgrad_geometry_feature_weight_consistency: float = 0.0
     stopgrad_geometry_normals_weight_consistency: float = 0.0
 
+    # Control variates (SLF single-point + volume).
+    slf_variate: bool = True
     stopgrad_weight_variate: float = 0.0
     stopgrad_weight_model: float = 1.0
 
@@ -160,39 +163,27 @@ class BaseMaterialModel(nerf_model.Model):
         )
 
         if ("material" in passes) and self.use_material:
-            filtered_sampler_inds = render_kwargs.pop(
+            inds = render_kwargs.pop(
                 "filtered_sampler_inds", cache_outputs["filtered_sampler_inds"]
             )
             key, rng = jaxutil.random_split(rng)
             filtered_sampler_results, cache_shader_results = self._get_material_samples(
-                key,
-                rays,
-                cache_outputs["sampler"][-1],
-                filtered_sampler_inds,
-                train=train,
-                train_frac=train_frac,
-                is_secondary=is_secondary,
+                key, rays, cache_outputs["sampler"][-1], inds,
+                train=train, train_frac=train_frac, is_secondary=is_secondary,
                 **render_kwargs,
             )
 
             key, rng = jaxutil.random_split(rng)
             light_sampler_results = self._handle_light_sampling_pass(
-                rng=key,
-                rays=rays,
+                rng=key, rays=rays, train_frac=train_frac, train=train,
                 filtered_sampler_results=filtered_sampler_results,
-                train_frac=train_frac,
-                train=train,
                 **render_kwargs,
             )
 
             key, rng = jaxutil.random_split(rng)
             final_outputs = self._handle_material_pass(
-                rng=key,
-                rays=rays,
-                train_frac=train_frac,
-                train=train,
-                is_secondary=is_secondary,
-                vignette=vignette,
+                rng=key, rays=rays, train_frac=train_frac, train=train,
+                is_secondary=is_secondary, vignette=vignette,
                 cache_outputs=cache_outputs,
                 cache_shader_results=cache_shader_results,
                 filtered_sampler_results=filtered_sampler_results,
@@ -202,6 +193,7 @@ class BaseMaterialModel(nerf_model.Model):
                 **render_kwargs,
             )
         else:
+            # Cache-only: the cache render IS the model output.
             final_outputs = {
                 "cache_main": cache_outputs,
                 "main": cache_outputs,
@@ -225,83 +217,53 @@ class BaseMaterialModel(nerf_model.Model):
 
     def _maybe_bypass_pipeline(self, rng, rays, passes, train_frac, train,
                                **render_kwargs):
-        if "material_cache_shader" in passes or "material_shader" in passes:
-            sampler_results = render_kwargs.pop("sampler_results")
-            key, rng = jaxutil.random_split(rng)
-            geo = self.cache.sampler.mlps[-1](
-                rng=key,
-                rays=rays,
+        """Short-circuit entry points used by the probes/losses that need a
+        single sub-module evaluated at externally-supplied sample positions
+        rather than the full pipeline. Returns (outputs, done)."""
+        shared = dict(rays=rays, train_frac=train_frac, train=train)
+
+        def run_geometry_mlp(rng, sampler_results, kwargs):
+            # Final-level density MLP re-evaluated at the given gaussians.
+            return self.cache.sampler.mlps[-1](
+                rng=rng,
                 gaussians=(sampler_results["means"], sampler_results["covs"]),
                 tdist=sampler_results["tdist"],
-                train_frac=train_frac,
-                train=train,
-                **render_kwargs,
+                **shared, **kwargs,
             )
-            sampler_results = dict(sampler_results, feature=geo["feature"])
-            if "material_cache_shader" in passes:
-                key, rng = jaxutil.random_split(rng)
-                cache_results = self.cache.shader(
-                    rng=key,
-                    rays=rays,
-                    sampler_results=sampler_results,
-                    filtered_sampler_results=sampler_results,
-                    train_frac=train_frac,
-                    train=train,
-                    radiance_cache=self,
-                    **render_kwargs,
-                )
-                key, rng = jaxutil.random_split(rng)
-                material_results = self.shader(
-                    rng=key,
-                    rays=rays,
-                    sampler_results=sampler_results,
-                    train_frac=train_frac,
-                    train=train,
-                    radiance_cache=self,
-                    **render_kwargs,
-                )
-                return {"material": material_results, "cache": cache_results}, True
+
+        shader_passes = {"material_cache_shader", "material_shader"} & set(passes)
+        if shader_passes:
+            sampler_results = render_kwargs.pop("sampler_results")
             key, rng = jaxutil.random_split(rng)
-            return (
-                self.shader(
-                    rng=key,
-                    rays=rays,
-                    sampler_results=sampler_results,
-                    train_frac=train_frac,
-                    train=train,
-                    radiance_cache=self,
-                    **render_kwargs,
-                ),
-                True,
+            geo = run_geometry_mlp(key, sampler_results, render_kwargs)
+            sampler_results = dict(sampler_results, feature=geo["feature"])
+
+            key, rng = jaxutil.random_split(rng)
+            material_results = self.shader(
+                rng=key, sampler_results=sampler_results, radiance_cache=self,
+                **shared, **render_kwargs,
             )
+            if "material_cache_shader" not in passes:
+                return material_results, True
+            key, rng = jaxutil.random_split(rng)
+            cache_results = self.cache.shader(
+                rng=key, sampler_results=sampler_results,
+                filtered_sampler_results=sampler_results, radiance_cache=self,
+                **shared, **render_kwargs,
+            )
+            return {"material": material_results, "cache": cache_results}, True
 
         if "geometry" in passes:
             sampler_results = render_kwargs.pop("sampler_results")
             key, rng = jaxutil.random_split(rng)
-            return (
-                self.cache.sampler.mlps[-1](
-                    rng=key,
-                    rays=rays,
-                    gaussians=(sampler_results["means"], sampler_results["covs"]),
-                    tdist=sampler_results["tdist"],
-                    train_frac=train_frac,
-                    train=train,
-                    **render_kwargs,
-                ),
-                True,
-            )
+            return run_geometry_mlp(key, sampler_results, render_kwargs), True
 
         if ("surface_light_field" in passes or "surface_light_field_vis" in passes) and (
             self.use_surface_light_field
         ):
             key, rng = jaxutil.random_split(rng)
             slf_results = self.cache(
-                rng=key,
-                rays=rays,
-                train_frac=train_frac,
-                train=train,
-                use_slf=True,
-                **render_kwargs,
+                rng=key, use_slf=True, **shared, **render_kwargs
             )
             return slf_results, "surface_light_field" in passes
 
@@ -309,8 +271,16 @@ class BaseMaterialModel(nerf_model.Model):
 
     # --- passes ------------------------------------------------------------------
 
+    # Per-stage sub-result keys forwarded from the cache's "main" output into
+    # the cache supervision target (the loss assembly reads exactly these).
+    _CACHE_MAIN_KEYS = (
+        "sampler", "filtered_sampler_inds", "geometry", "shader", "integrator",
+    )
+
     def _handle_cache_pass(self, rng, rays, train_frac, train, is_secondary, vignette,
                            cache_outputs, **render_kwargs):
+        """Full cache render; repackaged as the `cache_main` loss target with
+        this model's cache-loss settings attached (models.py:1380-1396)."""
         key, rng = jaxutil.random_split(rng)
         cache_results = self.cache(
             rng=key,
@@ -321,17 +291,12 @@ class BaseMaterialModel(nerf_model.Model):
             vignette=vignette,
             cache_outputs=cache_outputs,
             **render_kwargs,
-        )
-        return {
-            "loss_weight": self.cache_loss_weight,
-            "loss_type": self.cache_loss,
-            "linear_to_srgb": self.cache_linear_to_srgb,
-            "sampler": cache_results["main"]["sampler"],
-            "filtered_sampler_inds": cache_results["main"]["filtered_sampler_inds"],
-            "geometry": cache_results["main"]["geometry"],
-            "shader": cache_results["main"]["shader"],
-            "integrator": cache_results["main"]["integrator"],
-        }
+        )["main"]
+        target = {k: cache_results[k] for k in self._CACHE_MAIN_KEYS}
+        target["loss_weight"] = self.cache_loss_weight
+        target["loss_type"] = self.cache_loss
+        target["linear_to_srgb"] = self.cache_linear_to_srgb
+        return target
 
     def _get_material_samples(self, rng, rays, sampler_results, filtered_sampler_inds,
                               train=True, train_frac=1.0, is_secondary=False,
@@ -372,32 +337,11 @@ class BaseMaterialModel(nerf_model.Model):
         do_resample = do_resample_cache or self.do_resample(
             render_kwargs.get("resample", False), is_secondary, train
         )
-        stopgrad_map = (
-            {
-                "weights": self.stopgrad_geometry_weight,
-                "weights_no_filter": self.stopgrad_geometry_weight,
-                "feature": self.stopgrad_geometry_feature_weight,
-                "normals_pred": self.stopgrad_geometry_normals_weight,
-                "normals": self.stopgrad_geometry_normals_weight,
-                "normals_to_use": self.stopgrad_geometry_normals_weight,
-            }
-            if do_resample
-            else {}
-        )
         filtered_results_material = jaxutil.apply_stopgrad_fields(
-            filtered_results, stopgrad_map
+            filtered_results, self.geometry_stopgrad_map(do_resample)
         )
-
-        consistency_map = {
-            "weights": self.stopgrad_geometry_weight_consistency,
-            "weights_no_filter": self.stopgrad_geometry_weight_consistency,
-            "feature": self.stopgrad_geometry_feature_weight_consistency,
-            "normals_pred": self.stopgrad_geometry_normals_weight_consistency,
-            "normals": self.stopgrad_geometry_normals_weight_consistency,
-            "normals_to_use": self.stopgrad_geometry_normals_weight_consistency,
-        }
         filtered_results_cache = jaxutil.apply_stopgrad_fields(
-            filtered_results, consistency_map
+            filtered_results, self._consistency_stopgrad_map()
         )
 
         key, rng = jaxutil.random_split(rng)
@@ -416,25 +360,38 @@ class BaseMaterialModel(nerf_model.Model):
         )
         return filtered_results_material, cache_shader_results
 
+    def _consistency_stopgrad_map(self):
+        return self.geometry_stopgrad_map(
+            True,
+            weight=self.stopgrad_geometry_weight_consistency,
+            feature=self.stopgrad_geometry_feature_weight_consistency,
+            normals=self.stopgrad_geometry_normals_weight_consistency,
+        )
+
+    def _gt_env_light(self, rays, sampler_results, render_kwargs):
+        """Ground-truth environment light packet: the GT env map's pmf/pdf
+        replaces the learned vMF sampler (relighting / GT-illumination)."""
+        num_points = sampler_results["means"].shape[-2]
+        packet = {
+            k: render_kwargs.get(k)
+            for k in ("env_map", "env_map_pmf", "env_map_pdf", "env_map_dirs",
+                      "env_map_w", "env_map_h")
+        }
+        packet["light_idx"] = jnp.repeat(
+            rays.light_idx[..., None, :], num_points, axis=-2
+        )
+        return packet
+
+    def _use_gt_illumination(self):
+        return self.config.compute_relight_metrics or (
+            self.config.use_ground_truth_illumination
+            and self.config.multi_illumination
+        )
+
     def _handle_light_sampling_pass(self, rng, rays, filtered_sampler_results,
                                     train_frac, train, **render_kwargs):
-        if self.config.compute_relight_metrics or (
-            self.config.use_ground_truth_illumination and self.config.multi_illumination
-        ):
-            # Relighting: the GT env map pmf/pdf drives the light sampling.
-            return {
-                "env_map": render_kwargs.get("env_map"),
-                "env_map_pmf": render_kwargs.get("env_map_pmf"),
-                "env_map_pdf": render_kwargs.get("env_map_pdf"),
-                "env_map_dirs": render_kwargs.get("env_map_dirs"),
-                "env_map_w": render_kwargs.get("env_map_w"),
-                "env_map_h": render_kwargs.get("env_map_h"),
-                "light_idx": jnp.repeat(
-                    rays.light_idx[..., None, :],
-                    filtered_sampler_results["means"].shape[-2],
-                    axis=-2,
-                ),
-            }
+        if self._use_gt_illumination():
+            return self._gt_env_light(rays, filtered_sampler_results, render_kwargs)
         if not self.use_light_sampler:
             return None
         key, rng = jaxutil.random_split(rng)
@@ -452,74 +409,52 @@ class BaseMaterialModel(nerf_model.Model):
                               filtered_sampler_results, light_sampler_results,
                               compute_extras, extra_ray_regularizer, **render_kwargs):
         render_kwargs.setdefault("radiance_cache", self)
+        # Every sub-call below shares the ray batch + schedule state; the
+        # two integrator invocations additionally share their render flags.
+        shared = dict(rays=rays, train_frac=train_frac, train=train, **render_kwargs)
+        integrate = dict(
+            shared, compute_extras=compute_extras, compute_distance=False,
+            vignette=vignette,
+        )
+
         key, rng = jaxutil.random_split(rng)
         material_shader_results = self.shader(
             rng=key,
-            rays=rays,
             sampler_results=filtered_sampler_results,
-            train_frac=train_frac,
-            train=train,
             light_sampler_results=light_sampler_results,
-            **render_kwargs,
+            **shared,
         )
 
         key, rng = jaxutil.random_split(rng)
         material_integrator_results = self.integrator(
-            rng=key,
-            rays=rays,
-            shader_results=material_shader_results,
-            train_frac=train_frac,
-            train=train,
-            compute_extras=compute_extras,
-            compute_distance=False,
-            vignette=vignette,
-            material=True,
-            **render_kwargs,
+            rng=key, shader_results=material_shader_results, material=True,
+            **integrate,
         )
 
         if self.slf_variate:
             key, rng = jaxutil.random_split(rng)
             self._handle_slf_variate_pass(
-                key,
-                rays,
-                train_frac,
-                train,
-                filtered_sampler_results,
-                light_sampler_results,
-                material_shader_results,
-                material_integrator_results,
+                key, rays, train_frac, train,
+                filtered_sampler_results, light_sampler_results,
+                material_shader_results, material_integrator_results,
                 **render_kwargs,
             )
 
-        # Merge geometry distances from the cache integrator.
-        for k in cache_outputs["integrator"]:
+        # The material integrator never re-derives depth; geometry distances
+        # come from the cache's own integration.
+        for k, v in cache_outputs["integrator"].items():
             if "distance" in k:
-                material_integrator_results[k] = cache_outputs["integrator"][k]
+                material_integrator_results[k] = v
 
         key, rng = jaxutil.random_split(rng)
         cache_integrator_results = self.integrator(
-            rng=key,
-            rays=rays,
-            shader_results=cache_shader_results,
-            train_frac=train_frac,
-            train=train,
-            compute_extras=compute_extras,
-            compute_distance=False,
-            vignette=vignette,
-            material=False,
-            **render_kwargs,
+            rng=key, shader_results=cache_shader_results, material=False,
+            **integrate,
         )
 
         # Cache-consistency integrator: the cache rendered at the material's
         # filtered surface points (models.py:1646-1659).
-        consistency_map = {
-            "weights": self.stopgrad_geometry_weight_consistency,
-            "weights_no_filter": self.stopgrad_geometry_weight_consistency,
-            "feature": self.stopgrad_geometry_feature_weight_consistency,
-            "normals_pred": self.stopgrad_geometry_normals_weight_consistency,
-            "normals": self.stopgrad_geometry_normals_weight_consistency,
-            "normals_to_use": self.stopgrad_geometry_normals_weight_consistency,
-        }
+        consistency_map = self._consistency_stopgrad_map()
         key, rng = jaxutil.random_split(rng)
         _, cache_consistency_integrator_results = self.cache.apply_shader_and_integrator(
             key,
@@ -555,22 +490,25 @@ class BaseMaterialModel(nerf_model.Model):
                 stopgrad_weight_model=self.stopgrad_weight_model,
             )
 
-        material_outputs = {
-            "loss_weight": self.loss_weight,
-            "loss_type": self.loss,
-            "linear_to_srgb": self.linear_to_srgb,
-            "sampler": None,
-            "geometry": None,
-            "cache_shader": cache_shader_results,
-            "cache_integrator": cache_consistency_integrator_results,
-            "shader": material_shader_results,
-            "integrator": material_integrator_results,
-        }
-        return {
-            "cache_main": cache_outputs,
-            "main": material_outputs,
-            "render": material_integrator_results,
-        }
+        # The material loss target: no sampler/geometry of its own (those
+        # losses belong to the cache target), cache_* companions carried for
+        # the consistency losses.
+        material_outputs = dict(
+            loss_weight=self.loss_weight,
+            loss_type=self.loss,
+            linear_to_srgb=self.linear_to_srgb,
+            sampler=None,
+            geometry=None,
+            cache_shader=cache_shader_results,
+            cache_integrator=cache_consistency_integrator_results,
+            shader=material_shader_results,
+            integrator=material_integrator_results,
+        )
+        return dict(
+            cache_main=cache_outputs,
+            main=material_outputs,
+            render=material_integrator_results,
+        )
 
     def _handle_slf_variate_pass(self, rng, rays, train_frac, train,
                                  filtered_sampler_results, light_sampler_results,
@@ -583,19 +521,9 @@ class BaseMaterialModel(nerf_model.Model):
         single = jaxutil.copy_tree(filtered_sampler_results)
 
         if self.config.use_ground_truth_illumination and self.config.multi_illumination:
-            single_light = {
-                "env_map": render_kwargs.get("env_map"),
-                "env_map_pmf": render_kwargs.get("env_map_pmf"),
-                "env_map_pdf": render_kwargs.get("env_map_pdf"),
-                "env_map_dirs": render_kwargs.get("env_map_dirs"),
-                "env_map_w": render_kwargs.get("env_map_w"),
-                "env_map_h": render_kwargs.get("env_map_h"),
-                "light_idx": jnp.repeat(
-                    rays.light_idx[..., None, :],
-                    filtered_sampler_results["means"].shape[-2],
-                    axis=-2,
-                ),
-            }
+            single_light = self._gt_env_light(
+                rays, filtered_sampler_results, render_kwargs
+            )
         elif self.use_light_sampler:
             key, rng = jaxutil.random_split(rng)
             single_light = self.light_sampler(
@@ -651,30 +579,29 @@ class BaseMaterialModel(nerf_model.Model):
     # --- finalization -----------------------------------------------------------
 
     def _get_lossmult(self, final_outputs, rays):
-        mat_integrator = final_outputs["render"]
+        """Attach the per-ray loss weighting to the rendered output.
+
+        Behavior parity with models.py:2035-2063, including its quirk: the
+        reference builds normal/radius threshold masks but wraps each
+        comparison in `ones_like`, so the thresholds are dead and the
+        material lossmult is constant-true (shaped like the cache geometry's
+        last normal channel). The filters that actually gate material
+        supervision are the shader-side ones (`material_shader.py`,
+        filter_normals_thresh / material_loss_radius applied per sample).
+        Without a material head, the ray's own lossmult broadcasts over rgb.
+        """
+        render = final_outputs["render"]
         if self.use_material:
-            geometry_results = jax.lax.stop_gradient(
+            geometry = jax.lax.stop_gradient(
                 final_outputs["cache_main"]["integrator"]
             )
-            normals = geometry_results["normals_to_use"].reshape(rays.viewdirs.shape)
-            points = geometry_results["means"].reshape(rays.viewdirs.shape)
-            lossmult = jnp.ones_like(
-                jnp.abs(normals[..., -1:]) < self.config.filter_normals_thresh
-            ) & jnp.ones_like(
-                jnp.linalg.norm(points, axis=-1, keepdims=True)
-                < self.config.material_loss_radius
-            )
-            mat_integrator["lossmult"] = lossmult
+            normals = geometry["normals_to_use"].reshape(rays.viewdirs.shape)
+            render["lossmult"] = jnp.ones(normals[..., -1:].shape, dtype=bool)
         else:
-            shape_rgb = mat_integrator["rgb"].shape
-            if len(shape_rgb) == 3:
-                mat_integrator["lossmult"] = rays.lossmult[..., None] * jnp.ones_like(
-                    mat_integrator["rgb"]
-                )
-            else:
-                mat_integrator["lossmult"] = rays.lossmult * jnp.ones_like(
-                    mat_integrator["rgb"]
-                )
+            lossmult = rays.lossmult
+            if render["rgb"].ndim == lossmult.ndim + 1:
+                lossmult = lossmult[..., None]
+            render["lossmult"] = lossmult * jnp.ones_like(render["rgb"])
 
     def _finalize_outputs(self, outputs, cache_outputs, cache_shader_results, passes,
                           light_sampler_results, bypass_outputs, rays, vignette,

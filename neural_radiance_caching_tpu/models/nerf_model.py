@@ -52,49 +52,48 @@ class Model(nn.Module):
     )
     active_importance_samplers: Any = ((render_utils.ActiveSampler(), 1.0),)
 
+    # Distant-environment model for escaped secondary rays.
     use_env_map: bool = False
     env_map_near: float = float("inf")
     env_map_far: float = float("inf")
     env_map_params: Any = None
 
+    # Surface light field memory (cheap far-field cache of outgoing radiance).
     use_surface_light_field: bool = False
     surface_lf_mem_distance_near: float = 1e-3
     surface_lf_mem_distance_far: float = 1e6
     surface_lf_mem_params: Any = None
 
+    # Resampled estimator: when active, the per-ray sample set collapses to
+    # num_resample categorical draws ∝ weights (see maybe_resample).
     resample: bool = False
-    num_resample: int = 1
     resample_render: bool = False
     resample_secondary: bool = False
     resample_argmax: bool = False
-    use_raydist_for_secondary_only: bool = False
-
+    num_resample: int = 1
     logits_mult: float = 1.0
     logits_mult_secondary: float = 1.0
     weights_bias: float = 0.0
+    use_raydist_for_secondary_only: bool = False
 
+    # Gradient-flow weights (1.0 = gradients pass, 0.0 = stop_gradient).
     stopgrad_geometry_weight: float = 1.0
     stopgrad_geometry_variate_weight: float = 0.0
     stopgrad_geometry_feature_weight: float = 1.0
     stopgrad_geometry_normals_weight: float = 1.0
-
     stopgrad_weight_variate: float = 1.0
     stopgrad_weight_model: float = 1.0
-
-    train_sampling_strategy: Tuple[Tuple[int, int, int], ...] = (
-        (0, 0, 64),
-        (1, 1, 64),
-        (2, 2, 32),
-    )
-    render_sampling_strategy: Tuple[Tuple[int, int, int], ...] = (
-        (0, 0, 64),
-        (1, 1, 64),
-        (2, 2, 32),
-    )
-
     stopgrad_cache_weight: Tuple[float, float] = (1.0, 1.0)
     stopgrad_slf_weight: Tuple[float, float] = (1.0, 1.0)
     stopgrad_env_map_weight: Tuple[float, float] = (1.0, 1.0)
+
+    # (prop level, prop level, final) sample counts per training/render pass.
+    train_sampling_strategy: Tuple[Tuple[int, int, int], ...] = (
+        (0, 0, 64), (1, 1, 64), (2, 2, 32),
+    )
+    render_sampling_strategy: Tuple[Tuple[int, int, int], ...] = (
+        (0, 0, 64), (1, 1, 64), (2, 2, 32),
+    )
 
     def do_resample(self, do_resample, is_secondary, train):
         return (
@@ -129,6 +128,23 @@ class Model(nn.Module):
     def _get_logits_mult(self, is_secondary):
         return self.logits_mult_secondary if is_secondary else self.logits_mult
 
+    def geometry_stopgrad_map(self, active, weight=None, feature=None,
+                              normals=None):
+        """Per-field gradient-flow weights applied to resampled geometry.
+
+        Shared by the cache forward, the material sample filter, and the
+        consistency pass (which overrides the three weights).
+        """
+        if not active:
+            return {}
+        w = self.stopgrad_geometry_weight if weight is None else weight
+        f = self.stopgrad_geometry_feature_weight if feature is None else feature
+        n = self.stopgrad_geometry_normals_weight if normals is None else normals
+        return {
+            "weights": w, "weights_no_filter": w, "feature": f,
+            "normals_pred": n, "normals": n, "normals_to_use": n,
+        }
+
     def maybe_resample(self, rng, resample, sampler_results, num_resample, inds=None,
                        logits_mult=1.0):
         """Draw num_resample samples ∝ weights; weights ÷ sg(N·p) stays unbiased.
@@ -141,38 +157,39 @@ class Model(nn.Module):
             return sampler_results, None
 
         weights = sampler_results["weights"]
-        logits = math.safe_log(weights + self.weights_bias) * logits_mult
-        probs = jax.nn.softmax(logits, axis=-1)
+        batch_shape = sampler_results["points"].shape[:-2]
 
-        if self.resample_argmax:
-            samples_shape = logits.shape
-            all_inds = (
-                jnp.arange(samples_shape[-1])
-                .reshape(tuple(1 for _ in samples_shape[:-1]) + (samples_shape[-1],))
-                .astype(jnp.int32)
+        def weight_logits_probs(w):
+            logits = math.safe_log(w + self.weights_bias) * logits_mult
+            return logits, jax.nn.softmax(logits, axis=-1)
+
+        def draw(key, logits, count):
+            return jax.random.categorical(
+                key, logits=logits[..., None], axis=-2,
+                shape=batch_shape + (count,),
             )
+
+        logits, probs = weight_logits_probs(weights)
+        if self.resample_argmax:
+            # Deterministically keep the max-weight sample; the remaining
+            # num_resample-1 draws come from the distribution with that
+            # sample's mass removed.
             inds_argmax = jnp.argmax(logits, axis=-1, keepdims=True)
-            new_weights = jnp.where(all_inds == inds_argmax, jnp.zeros_like(weights), weights)
-            new_logits = math.safe_log(new_weights + self.weights_bias) * logits_mult
-            new_probs = jax.nn.softmax(new_logits, axis=-1)
+            sample_pos = jnp.arange(weights.shape[-1], dtype=jnp.int32)
+            residual = jnp.where(
+                sample_pos == inds_argmax, jnp.zeros_like(weights), weights
+            )
+            new_logits, new_probs = weight_logits_probs(residual)
 
         if inds is None:
             key, rng = jaxutil.random_split(rng)
             if self.resample_argmax:
-                inds = jax.random.categorical(
-                    key,
-                    logits=new_logits[..., None],
-                    axis=-2,
-                    shape=(sampler_results["points"].shape[:-2] + (num_resample - 1,)),
+                inds = jnp.concatenate(
+                    [inds_argmax, draw(key, new_logits, num_resample - 1)],
+                    axis=-1,
                 )
-                inds = jnp.concatenate([inds_argmax, inds], axis=-1)
             else:
-                inds = jax.random.categorical(
-                    key,
-                    logits=logits[..., None],
-                    axis=-2,
-                    shape=(sampler_results["points"].shape[:-2] + (num_resample,)),
-                )
+                inds = draw(key, logits, num_resample)
 
         ref_ndim = len(sampler_results["points"].shape)
 
@@ -317,83 +334,61 @@ class Model(nn.Module):
         filtered_sampler_results = jaxutil.apply_stopgrad_fields(
             filtered_sampler_results, stopgrad_map
         )
+        # Common state threaded through every shade→integrate→env-composite
+        # chain in this method (the volume variate repeats the chain twice).
+        shared = dict(train_frac=train_frac, train=train, is_secondary=is_secondary)
+
+        def shade_and_integrate(rng, inputs, passes=None):
+            extra = {} if passes is None else {"passes": passes}
+            key_a, key_b, key_c = jax.random.split(rng, 3)
+            sr = self.shader(
+                rng=key_a, rays=cache_rays, sampler_results=inputs,
+                filtered_sampler_results=inputs,
+                **shared, **extra, **render_kwargs,
+            )
+            sr.setdefault("weights_no_filter", sr["weights"])
+            ir = self.integrator(
+                rng=key_b, rays=cache_rays, shader_results=sr,
+                bg_intensity_range=bg_intensity_range,
+                **shared, **render_kwargs,
+            )
+            ir = self._handle_secondary(
+                key_c, rays, is_secondary, ir, train, train_frac, **render_kwargs
+            )
+            return sr, ir
 
         if weights_only:
             shader_results = self.make_weights_only_shader_results(
                 cache_rays, filtered_sampler_results
             )
-        else:
             key, rng = jaxutil.random_split(rng)
-            shader_results = self.shader(
-                rng=key,
-                rays=cache_rays,
-                sampler_results=filtered_sampler_results,
-                filtered_sampler_results=filtered_sampler_results,
-                train_frac=train_frac,
-                train=train,
-                is_secondary=is_secondary,
+            integrator_results = self.integrator(
+                rng=key, rays=cache_rays, shader_results=shader_results,
+                bg_intensity_range=bg_intensity_range,
+                **shared, **render_kwargs,
+            )
+            key, rng = jaxutil.random_split(rng)
+            integrator_results = self._handle_secondary(
+                key, rays, is_secondary, integrator_results, train, train_frac,
                 **render_kwargs,
             )
+            return shader_results, integrator_results
 
         key, rng = jaxutil.random_split(rng)
-        integrator_results = self.integrator(
-            rng=key,
-            rays=cache_rays,
-            shader_results=shader_results,
-            train_frac=train_frac,
-            train=train,
-            bg_intensity_range=bg_intensity_range,
-            is_secondary=is_secondary,
-            **render_kwargs,
+        shader_results, integrator_results = shade_and_integrate(
+            key, filtered_sampler_results
         )
 
-        key, rng = jaxutil.random_split(rng)
-        integrator_results = self._handle_secondary(
-            key, rays, is_secondary, integrator_results, train, train_frac, **render_kwargs
-        )
-
-        if self.use_volume_variate(is_secondary) and not weights_only:
+        if self.use_volume_variate(is_secondary):
             # Control variate: E[f(full)] - E[f(resampled_biased)] + f(resampled).
-            def run(shader_inputs, passes=None):
-                nonlocal rng
-                key_a, rng2 = jaxutil.random_split(rng)
-                rng = rng2
-                extra = {} if passes is None else {"passes": passes}
-                sr = self.shader(
-                    rng=key_a,
-                    rays=cache_rays,
-                    sampler_results=shader_inputs,
-                    filtered_sampler_results=shader_inputs,
-                    train_frac=train_frac,
-                    train=train,
-                    is_secondary=is_secondary,
-                    **extra,
-                    **render_kwargs,
-                )
-                if "weights_no_filter" not in sr:
-                    sr["weights_no_filter"] = sr["weights"]
-                key_b, rng2 = jaxutil.random_split(rng)
-                rng = rng2
-                ir = self.integrator(
-                    rng=key_b,
-                    rays=cache_rays,
-                    shader_results=sr,
-                    train_frac=train_frac,
-                    train=train,
-                    bg_intensity_range=bg_intensity_range,
-                    is_secondary=is_secondary,
-                    **render_kwargs,
-                )
-                key_c, rng2 = jaxutil.random_split(rng)
-                rng = rng2
-                ir = self._handle_secondary(
-                    key_c, rays, is_secondary, ir, train, train_frac, **render_kwargs
-                )
-                return sr, ir
-
             variate_passes = self.get_variate_passes(is_secondary)
-            variate_results, biased_total = run(sampler_results[-1], variate_passes)
-            _, biased = run(filtered_sampler_results, variate_passes)
+            key_t, key_b, rng = jax.random.split(rng, 3)
+            variate_results, biased_total = shade_and_integrate(
+                key_t, sampler_results[-1], variate_passes
+            )
+            _, biased = shade_and_integrate(
+                key_b, filtered_sampler_results, variate_passes
+            )
 
             self._handle_volume_variate_pass(
                 integrator_results,
@@ -490,20 +485,18 @@ class BaseNeRFModel(Model):
             key, rng = jaxutil.random_split(rng)
             return self._handle_env_map(key, rays, train, train_frac, **render_kwargs)
 
-        if cache_outputs is None:
+        if cache_outputs is not None:
+            # Reuse a prior forward's sampler hierarchy (gradient-debias
+            # second pass / secondary-ray replays).
+            sampler_results = jaxutil.copy_tree(cache_outputs["sampler"])
+        else:
             key, rng = jaxutil.random_split(rng)
             sampler_results = self.sampler(
-                rng=key,
-                rays=cache_rays,
-                train_frac=train_frac,
-                train=train,
+                rng=key, rays=cache_rays, train_frac=train_frac, train=train,
                 sampling_strategy=self.get_sampling_strategy(train, sampling_strategy),
-                use_raydist_fn=use_raydist_fn,
-                is_secondary=is_secondary,
+                use_raydist_fn=use_raydist_fn, is_secondary=is_secondary,
                 **render_kwargs,
             )
-        else:
-            sampler_results = jaxutil.copy_tree(cache_outputs["sampler"])
 
         key, rng = jaxutil.random_split(rng)
         filtered_sampler_results, filtered_sampler_inds = self.maybe_resample(
@@ -515,46 +508,24 @@ class BaseNeRFModel(Model):
             inds=filtered_sampler_inds,
         )
 
-        stopgrad_map = (
-            {
-                "weights": self.stopgrad_geometry_weight,
-                "weights_no_filter": self.stopgrad_geometry_weight,
-                "feature": self.stopgrad_geometry_feature_weight,
-                "normals_pred": self.stopgrad_geometry_normals_weight,
-                "normals": self.stopgrad_geometry_normals_weight,
-                "normals_to_use": self.stopgrad_geometry_normals_weight,
-            }
-            if do_resample
-            else {}
-        )
-
         key, rng = jaxutil.random_split(rng)
         shader_results, integrator_results = self.apply_shader_and_integrator(
-            key,
-            rays,
-            cache_rays,
-            sampler_results,
-            filtered_sampler_results,
-            stopgrad_map,
-            train,
-            train_frac,
-            is_secondary,
-            bg_intensity_range,
+            key, rays, cache_rays, sampler_results, filtered_sampler_results,
+            self.geometry_stopgrad_map(do_resample), train, train_frac,
+            is_secondary, bg_intensity_range,
             stopgrad_cache_weight=stopgrad_cache_weight,
             **render_kwargs,
         )
 
-        return {
-            "main": {
-                "loss_weight": 1.0,
-                "sampler": sampler_results,
-                "filtered_sampler_inds": filtered_sampler_inds,
-                "shader": shader_results,
-                "geometry": sampler_results[-1],
-                "integrator": integrator_results,
-            },
-            "render": integrator_results,
-        }
+        main = dict(
+            loss_weight=1.0,
+            sampler=sampler_results,
+            filtered_sampler_inds=filtered_sampler_inds,
+            shader=shader_results,
+            geometry=sampler_results[-1],
+            integrator=integrator_results,
+        )
+        return {"main": main, "render": integrator_results}
 
 
 @gin.configurable
