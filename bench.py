@@ -1,16 +1,24 @@
-"""Benchmark: cache-stage training throughput (rays/sec) on one TPU chip.
+"""Benchmark: cache + material stage training throughput on one TPU chip.
 
-Trains the radiance-cache stage at the reference's flagship scale
-(ngp_yobo.gin: hash levels to 2048^3 with T=2^19, F=4 appearance grid, F=1
-proposal grids, 64/64/32 samples, 64-wide MLPs) on a procedural scene and
-reports sustained train-step rays/sec.
+Trains BOTH Flash Cache stages at the reference's flagship scale on a
+procedural scene and reports sustained train-step rays/sec:
+
+  * cache stage (ngp_yobo.gin: hash levels to 2048^3 with T=2^19, F=4
+    appearance grid, 64/64/32 samples, 64-wide MLPs) — the headline metric;
+  * material stage (`material_light_from_scratch_resample`: secondary rays
+    into the frozen-architecture cache with num_secondary_samples=32 + 4
+    diffuse, resample=1, SLF control variate, vMF light sampler — reference
+    internal/material.py:1352-1565 secondary-ray engine), reported in
+    `detail.material_stage`.
 
 Baseline: the reference cannot run this workload on TPU at all (it raises on
 TPU, internal/geometry.py:255-257) and its authors trained on one RTX 6000
 Ada. `vs_baseline` is measured rays/sec divided by 65536 — i.e. how many of
 the reference's nominal base batches (configs/ngp_yobo.gin:6) this framework
 retires per second per chip; BASELINE.md records why no published number
-exists to compare against directly.
+exists to compare against directly. `detail.*.mfu` anchors the number in
+hardware terms: XLA-counted FLOPs/step over step time vs the chip's bf16
+peak.
 """
 
 import json
@@ -21,6 +29,7 @@ import numpy as np
 
 from neural_radiance_caching_tpu.data import datasets
 from neural_radiance_caching_tpu.engine.configs import Config
+from neural_radiance_caching_tpu.models.material_model import MaterialModel
 from neural_radiance_caching_tpu.models.nerf_model import NeRFModel
 from neural_radiance_caching_tpu.ops import coord
 from neural_radiance_caching_tpu.parallel import mesh as mesh_lib
@@ -28,12 +37,32 @@ from neural_radiance_caching_tpu.parallel import train as train_lib
 from neural_radiance_caching_tpu.utils import pytrees
 
 BATCH_SIZE = 8192
+MATERIAL_BATCH_SIZE = 2048
 WARMUP_STEPS = 3
 BENCH_STEPS = 20
+MATERIAL_BENCH_STEPS = 10
+
+# bf16 peak FLOP/s per chip by device kind (public spec sheets).
+PEAK_FLOPS = {
+    "v4": 275e12,
+    "v5 lite": 197e12,
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v6 lite": 918e12,
+    "v6e": 918e12,
+}
 
 
-def build_flagship_cache_model(config):
-    """Flagship cache model: TPU-first proposal levels + NGP final level.
+def peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, val in PEAK_FLOPS.items():
+        if key in kind:
+            return val
+    return 197e12  # assume v5e if unrecognized
+
+
+def flagship_cache_params(config):
+    """Flagship cache model params: TPU-first proposal levels + NGP final level.
 
     The reference's default puts NGP grids on all three sampling levels
     (configs/ngp_yobo.gin:188-204). On TPU, proposal-level hash lookups are
@@ -76,8 +105,7 @@ def build_flagship_cache_model(config):
         "use_density_feature": False, "use_shader_bottleneck": True, "use_lights": False,
     }
     strategy = ((0, 0, 64), (1, 1, 64), (2, 2, 32))
-    return NeRFModel(
-        config=config,
+    return dict(
         sampler_params={
             "sampling_strategy": strategy,
             "mlp_params_per_level": (proposal_mlp, proposal_mlp, mlp),
@@ -113,6 +141,114 @@ def build_flagship_cache_model(config):
     )
 
 
+def build_flagship_cache_model(config):
+    return NeRFModel(config=config, **flagship_cache_params(config))
+
+
+def build_flagship_material_model(config):
+    """Flagship material stage (`material_light_from_scratch_resample`).
+
+    Reference scale (ngp_yobo.gin:315-403): 32 secondary + 4 diffuse
+    secondary samples per surface point traced through the full cache
+    sampling hierarchy (cache_train_sampling_strategy = the cache's own
+    64/64/32), MaterialModel.num_resample=1 with resampling ON (the
+    benchmark stage suffix `_resample`), SLF control variate, 128-component
+    vMF light sampler.
+    """
+    cache_params = flagship_cache_params(config)
+    cache_params["resample_secondary"] = True
+    strategy = cache_params["train_sampling_strategy"]
+    grid = {
+        "hash_map_size": 524288, "max_grid_size": 2048, "num_features": 4,
+        "scale_supersample": 1.0, "interpolation": "simplex",
+        "bbox_scaling": 2.0,
+    }
+    return MaterialModel(
+        config=config,
+        cache_model_params=cache_params,
+        use_light_sampler=True,
+        light_sampler_params={
+            # ngp_yobo.gin:336-352.
+            "net_depth": 2, "net_width": 64, "bottleneck_width": 128,
+            "num_components": 128, "vmf_scale": 20.0,
+            "use_density_feature": False, "use_grid": True,
+            "grid_params": grid, "warp_fn": coord.contract_radius_2,
+        },
+        shader_params={
+            # ngp_yobo.gin:315-322 (net_depth=0 trunk, brdf heads 2x64).
+            "net_depth": 0, "net_width": 64, "bottleneck_width": 128,
+            "use_density_feature": False, "use_grid": True,
+            "grid_params": grid, "warp_fn": coord.contract_radius_2,
+            "num_secondary_samples": 32, "render_num_secondary_samples": 32,
+            "num_secondary_samples_diff": 4,
+            "render_num_secondary_samples_diff": 4,
+            "cache_train_sampling_strategy": strategy,
+            "cache_render_sampling_strategy": strategy,
+            "net_depth_brdf": 2, "net_width_brdf": 64,
+            "use_brdf_correction": False,
+        },
+        resample=True,
+        resample_render=True,
+        num_resample=1,
+        slf_variate=True,
+    )
+
+
+def bench_train_steps(model, config, dataset, n_steps, batch_size):
+    """Compile + time the sharded train step; returns (dt_sec, detail)."""
+    import functools
+
+    mesh = mesh_lib.create_mesh()
+    variables = jax.jit(functools.partial(model.init, train_frac=1.0, train=False))(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1), pytrees.dummy_rays(16)
+    )
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables))
+    state, _ = train_lib.create_optimizer(config, variables)
+    state = mesh_lib.replicate(state, mesh)
+    train_step = train_lib.create_train_step(model, config, mesh=mesh)
+    rng = jax.random.PRNGKey(42)
+
+    # Pre-generate host batches so data loading is off the timed path.
+    batches = [
+        mesh_lib.shard_batch(dataset.next_train(), mesh) for _ in range(8)
+    ]
+
+    # XLA's own FLOP count for one compiled step (forward+backward+adam).
+    flops = None
+    try:
+        cost = train_step.lower(
+            rng, state, batches[0], 0.5
+        ).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    for i in range(WARMUP_STEPS):
+        state, stats = train_step(rng, state, batches[i % len(batches)], 0.5)
+    # NOTE: on remote-dispatch backends block_until_ready can return before
+    # execution finishes; a device->host fetch is the only reliable fence.
+    _ = float(stats["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, stats = train_step(rng, state, batches[i % len(batches)], 0.5)
+    _ = float(stats["loss"])
+    dt = (time.perf_counter() - t0) / n_steps
+
+    detail = {
+        "batch_size": batch_size,
+        "step_ms": round(dt * 1e3, 2),
+        "params": int(n_params),
+        "final_loss": float(stats["loss"]),
+    }
+    if flops:
+        detail["xla_flops_per_step"] = flops
+        detail["mfu"] = round(flops / dt / peak_flops(jax.devices()[0]), 4)
+    return dt, detail
+
+
 def main():
     config = Config(
         dataset_loader="synthetic_spheres",
@@ -135,50 +271,50 @@ def main():
         linear_to_srgb=True,
     )
     dataset = datasets.SyntheticSpheres("train", None, config, num_images=8, resolution=128)
-    model = build_flagship_cache_model(config)
-    mesh = mesh_lib.create_mesh()
 
-    import functools
-
-    variables = jax.jit(functools.partial(model.init, train_frac=1.0, train=False))(
-        jax.random.PRNGKey(0), jax.random.PRNGKey(1), pytrees.dummy_rays(16)
+    dt, cache_detail = bench_train_steps(
+        build_flagship_cache_model(config), config, dataset,
+        BENCH_STEPS, BATCH_SIZE,
     )
-    n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables))
-    state, _ = train_lib.create_optimizer(config, variables)
-    state = mesh_lib.replicate(state, mesh)
-    train_step = train_lib.create_train_step(model, config, mesh=mesh)
-    rng = jax.random.PRNGKey(42)
-
-    # Pre-generate host batches so data loading is off the timed path.
-    batches = [
-        mesh_lib.shard_batch(dataset.next_train(), mesh) for _ in range(8)
-    ]
-
-    for i in range(WARMUP_STEPS):
-        state, stats = train_step(rng, state, batches[i % len(batches)], 0.5)
-    # NOTE: on remote-dispatch backends block_until_ready can return before
-    # execution finishes; a device->host fetch is the only reliable fence.
-    _ = float(stats["loss"])
-
-    t0 = time.perf_counter()
-    for i in range(BENCH_STEPS):
-        state, stats = train_step(rng, state, batches[i % len(batches)], 0.5)
-    _ = float(stats["loss"])
-    dt = (time.perf_counter() - t0) / BENCH_STEPS
-
+    cache_detail["samples_per_ray"] = 160
     rays_per_sec = BATCH_SIZE / dt
+
+    # Material stage (the expensive half of the north-star metric).
+    import dataclasses
+
+    mat_config = dataclasses.replace(
+        config,
+        batch_size=MATERIAL_BATCH_SIZE,
+        secondary_far=4.0,
+        material_loss_radius=4.0,
+        data_loss_type="rawnerf_unbiased",
+        use_gradient_debias=True,
+        distortion_loss_mult=0.0,
+        predicted_normal_loss_mult=0.0,
+        predicted_normal_reverse_loss_mult=0.0,
+    )
+    mat_dataset = datasets.SyntheticSpheres(
+        "train", None, mat_config, num_images=8, resolution=128
+    )
+    mat_dt, mat_detail = bench_train_steps(
+        build_flagship_material_model(mat_config), mat_config, mat_dataset,
+        MATERIAL_BENCH_STEPS, MATERIAL_BATCH_SIZE,
+    )
+    mat_detail["secondary_samples_per_ray"] = 36
+    mat_rays_per_sec = MATERIAL_BATCH_SIZE / mat_dt
+
     result = {
         "metric": "train_rays_per_sec_cache_stage",
         "value": round(rays_per_sec, 1),
         "unit": "rays/sec/chip",
         "vs_baseline": round(rays_per_sec / 65536.0, 3),
         "detail": {
-            "batch_size": BATCH_SIZE,
-            "step_ms": round(dt * 1e3, 2),
-            "samples_per_ray": 160,
-            "params": int(n_params),
             "device": str(jax.devices()[0]),
-            "final_loss": float(stats["loss"]),
+            "cache_stage": cache_detail,
+            "material_stage": dict(
+                mat_detail,
+                train_rays_per_sec=round(mat_rays_per_sec, 1),
+            ),
         },
     }
     print(json.dumps(result))

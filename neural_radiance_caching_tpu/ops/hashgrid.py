@@ -429,7 +429,7 @@ def multires_grid_encode(
         and (dense_pool is None or LANES_OK(dense_pool.shape[-1]))
     )
     if not use_kernel:
-        return _multires_grid_encode_xla(
+        out = _multires_grid_encode_xla(
             x,
             hash_tables,
             dense_pool,
@@ -440,11 +440,19 @@ def multires_grid_encode(
             multisample_reduce=multisample_reduce,
             interpolation=interpolation,
         )
-    statics = (grid_sizes, table_size, dense_offsets, multisample_reduce,
-               interpolation)
-    if statics not in _ENCODE_VJP_CACHE:
-        _ENCODE_VJP_CACHE[statics] = _make_encode_vjp(statics)
-    return _ENCODE_VJP_CACHE[statics](x, hash_tables, dense_pool, x_scale)
+    else:
+        statics = (grid_sizes, table_size, dense_offsets, multisample_reduce,
+                   interpolation)
+        if statics not in _ENCODE_VJP_CACHE:
+            _ENCODE_VJP_CACHE[statics] = _make_encode_vjp(statics)
+        out = _ENCODE_VJP_CACHE[statics](x, hash_tables, dense_pool, x_scale)
+    # Remat tag: under `jax.checkpoint(..., policy=remat_policy())` (see
+    # parallel/train.py) encoder outputs are saved residuals, so the gather
+    # forward is never re-executed in the backward pass and the Pallas
+    # scatter VJP runs exactly once.
+    from jax import ad_checkpoint
+
+    return ad_checkpoint.checkpoint_name(out, "grid_encode")
 
 
 def LANES_OK(f):

@@ -1,0 +1,175 @@
+"""On-chip material-stage convergence check (analogous to the cache-stage
+31.6 dB check recorded in BASELINE.md).
+
+Trains the flagship cache on the procedural spheres scene (known lambertian
+BRDF, analytic GT albedo + normals), warm-starts the flagship material stage
+from it via checkpoint surgery, trains the material stage, and reports:
+  * albedo PSNR (per-channel lstsq color calibration, masked)
+  * normal MAE in degrees (masked)
+  * test-view PSNR of the material render
+
+Usage: python scripts/material_convergence_check.py [cache_steps] [mat_steps]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import numpy as np
+
+import bench
+from neural_radiance_caching_tpu.data import datasets
+from neural_radiance_caching_tpu.engine import renderer
+from neural_radiance_caching_tpu.engine.configs import Config
+from neural_radiance_caching_tpu.parallel import mesh as mesh_lib
+from neural_radiance_caching_tpu.parallel import train as train_lib
+from neural_radiance_caching_tpu.utils import pytrees
+
+CACHE_STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 1200
+MAT_STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+BATCH = 8192
+MAT_BATCH = 2048
+RES = 128
+
+
+def make_config(**overrides):
+    base = dict(
+        dataset_loader="synthetic_spheres",
+        batch_size=BATCH,
+        near=2.0,
+        far=6.0,
+        max_steps=max(CACHE_STEPS, 1),
+        lr_init=0.01,
+        lr_final=0.002,
+        lr_delay_steps=100,
+        lr_delay_mult=1e-8,
+        adam_eps=1e-15,
+        data_loss_type="charb",
+        interlevel_loss_mults=(0.01, 0.01),
+        interlevel_loss_blurs=(0.03, 0.003),
+        distortion_loss_mult=0.01,
+        predicted_normal_loss_mult=0.05,
+        predicted_normal_reverse_loss_mult=0.05,
+        mask_lossmult=False,
+        linear_to_srgb=True,
+        compute_albedo_metrics=True,
+        compute_normal_metrics=True,
+        render_chunk_size=8192,
+    )
+    base.update(overrides)
+    return Config(**base)
+
+
+def train_model(model, config, dataset, steps, rng, init_params=None, graft=None):
+    import functools
+
+    mesh = mesh_lib.create_mesh()
+    variables = jax.jit(functools.partial(model.init, train_frac=1.0, train=False))(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1), pytrees.dummy_rays(16)
+    )
+    state, _ = train_lib.create_optimizer(config, variables)
+    if graft is not None:
+        # Checkpoint surgery: pull the standalone-cache run's params into the
+        # material model's Cache submodule (prefix rename put <- take).
+        state = train_lib.restore_partial_checkpoint(
+            state, graft, replace_dict={"params/Cache/": "params/"}
+        )
+    state = mesh_lib.replicate(state, mesh)
+    train_step = train_lib.create_train_step(model, config, mesh=mesh)
+    batcher = mesh_lib.DevicePrefetcher(datasets.RayBatcher(dataset), mesh)
+    t0 = time.time()
+    for step in range(steps):
+        batch = next(batcher)
+        train_frac = step / max(1, steps - 1)
+        state, stats = train_step(rng, state, batch, train_frac)
+        if step % 100 == 0:
+            loss = float(stats["loss"])
+            print(f"  step {step}/{steps} loss={loss:.5f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    batcher.stop()
+    return state
+
+
+def eval_material(model, config, state, test_ds, view=0):
+    mesh = mesh_lib.create_mesh()
+    render_fn = train_lib.create_render_fn(model, mesh=mesh)
+    batch = test_ds.generate_ray_batch(view)
+    H = W = RES
+    rendering = renderer.render_image(
+        render_fn, state.params, batch.rays, jax.random.PRNGKey(7), config,
+        height=H, width=W, train_frac=1.0,
+    )
+    out = {}
+    gt = np.asarray(batch.rgb).reshape(H, W, 3)
+    pred = np.clip(np.asarray(rendering["rgb"]).reshape(H, W, 3), 0, 1)
+    mse = np.mean((pred - gt) ** 2)
+    out["psnr"] = -10 * np.log10(mse + 1e-12)
+
+    mask = np.asarray(batch.masks).reshape(-1) > 0.5
+    if "material_albedo" in rendering:
+        albedo = np.asarray(rendering["material_albedo"]).reshape(-1, 3)[mask]
+        albedo_gt = np.asarray(batch.albedos).reshape(-1, 3)[mask]
+        num = (albedo_gt * albedo).sum(axis=0)
+        den = np.maximum((albedo**2).sum(axis=0), 1e-8)
+        cal = np.clip(albedo * (num / den), 0, 1)
+        mse = np.mean((cal - np.clip(albedo_gt, 0, 1)) ** 2)
+        out["albedo_psnr"] = -10 * np.log10(mse + 1e-12)
+
+    key = "normals_to_use" if "normals_to_use" in rendering else "normals"
+    if key in rendering and batch.normals is not None:
+        n_pred = np.asarray(rendering[key]).reshape(-1, 3)[mask]
+        n_gt = np.asarray(batch.normals).reshape(-1, 3)[mask]
+        n_pred = n_pred / np.maximum(np.linalg.norm(n_pred, axis=-1, keepdims=True), 1e-12)
+        n_gt = n_gt / np.maximum(np.linalg.norm(n_gt, axis=-1, keepdims=True), 1e-12)
+        ang = np.degrees(np.arccos(np.clip((n_pred * n_gt).sum(-1), -1, 1)))
+        out["normal_mae_deg"] = float(np.mean(ang))
+    return out
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    rng = jax.random.PRNGKey(11)
+
+    config = make_config()
+    train_ds = datasets.SyntheticSpheres("train", None, config, num_images=16,
+                                         resolution=RES)
+    print(f"[cache] training {CACHE_STEPS} steps @ batch {BATCH}", flush=True)
+    cache_model = bench.build_flagship_cache_model(config)
+    cache_state = train_model(cache_model, config, train_ds, CACHE_STEPS, rng)
+    cache_params = jax.device_get(cache_state.params)
+    del cache_state
+
+    mat_config = make_config(
+        batch_size=MAT_BATCH,
+        max_steps=max(MAT_STEPS, 1),
+        secondary_far=8.0,
+        material_loss_radius=4.0,
+        data_loss_type="rawnerf_unbiased",
+        use_gradient_debias=True,
+        distortion_loss_mult=0.0,
+        predicted_normal_loss_mult=0.0,
+        predicted_normal_reverse_loss_mult=0.0,
+        lr_init=0.004,
+        lr_final=0.001,
+        extra_opt_params={"Cache": {"lr_init": 0.0004, "lr_final": 0.0001}},
+    )
+    mat_ds = datasets.SyntheticSpheres("train", None, mat_config, num_images=16,
+                                       resolution=RES)
+    print(f"[material] training {MAT_STEPS} steps @ batch {MAT_BATCH}", flush=True)
+    mat_model = bench.build_flagship_material_model(mat_config)
+    mat_state = train_model(
+        mat_model, mat_config, mat_ds, MAT_STEPS,
+        jax.random.fold_in(rng, 1), graft={"params": cache_params["params"]},
+    )
+
+    test_ds = datasets.SyntheticSpheres("test", None, mat_config, num_images=2,
+                                        resolution=RES)
+    metrics = eval_material(mat_model, mat_config, mat_state, test_ds)
+    print("RESULT " + " ".join(f"{k}={v:.3f}" for k, v in metrics.items()),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

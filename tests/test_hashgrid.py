@@ -166,3 +166,44 @@ def test_weighted_scatter_kernel_interpret():
         for j in range(P * U):
             ref[l, int(idx[l, j])] += float(w[l, j]) * np.asarray(ct[l, j // U])
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+def test_weighted_scatter_padded_updates_leave_row0_exact():
+    """Pin the encode_bwd padding invariant (hashgrid.py weighted_scatter):
+    point-axis padding scatters extra updates into ROW 0 with weight exactly
+    0.0 — row 0 must receive only the true contributions even when the
+    padded cotangent rows hold garbage (only w==0.0 protects them)."""
+    import jax.numpy as jnp
+    from neural_radiance_caching_tpu.ops import scatter_tpu
+
+    rng = np.random.RandomState(1)
+    L, P, U, T, F = 1, 56, 4, 256, 4
+    tile = U * (128 // F)  # -> points_per_tile = 32, so P=56 pads to 64
+    pad_p = (-P) % (tile // U)
+    assert pad_p > 0, "test must exercise the padded path"
+
+    idx = rng.randint(1, T, (L, P * U)).astype(np.int32)  # row 0 via pad only
+    w = rng.rand(L, P * U).astype(np.float32)
+    ct = rng.randn(L, P, F).astype(np.float32)
+
+    # Padding exactly as hashgrid.encode_bwd does (idx/w -> 0), except the
+    # cotangent pad is GARBAGE instead of zeros to prove w==0 is sufficient.
+    idx_p = np.pad(idx, ((0, 0), (0, pad_p * U)))
+    w_p = np.pad(w, ((0, 0), (0, pad_p * U)))
+    ct_p = np.concatenate(
+        [ct, np.full((L, pad_p, F), 1e6, np.float32)], axis=1
+    )
+    cp = jnp.asarray(ct_p).reshape(L, (P + pad_p) * F // 128, 128)
+    out = np.asarray(
+        scatter_tpu.scatter_add_weighted_leveled(
+            jnp.asarray(idx_p), jnp.asarray(w_p), cp,
+            num_rows=T, features=F, corners=U, tile=tile, interpret=True,
+        )
+    )
+
+    ref = np.zeros((L, T, F), np.float32)
+    for l in range(L):
+        for j in range(P * U):
+            ref[l, idx[l, j]] += w[l, j] * ct[l, j // U]
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+    np.testing.assert_array_equal(out[:, 0, :], 0.0)
