@@ -37,7 +37,12 @@ from neural_radiance_caching_tpu.parallel import train as train_lib
 from neural_radiance_caching_tpu.utils import pytrees
 
 BATCH_SIZE = 8192
-MATERIAL_BATCH_SIZE = 2048
+# Reference README quick-start trains the material stage at batch 1024; the
+# secondary fan-out (36 secondary rays x full cache hierarchy per surface
+# point) makes activations ~36x a cache ray's, so remat is on for this stage
+# and the batch sits just under the single-chip HBM ceiling (1024 compiles
+# to 16.2G vs 15.75G available).
+MATERIAL_BATCH_SIZE = 768
 WARMUP_STEPS = 3
 BENCH_STEPS = 20
 MATERIAL_BENCH_STEPS = 10
@@ -145,6 +150,42 @@ def build_flagship_cache_model(config):
     return NeRFModel(config=config, **flagship_cache_params(config))
 
 
+def reference_layout_cache_params(config):
+    """The reference's own default layout (configs/ngp_yobo.gin:188-236):
+    NGP hash grids on ALL THREE sampling levels (512/1024/2048, F=1/1/4)
+    plus a separate twin appearance grid on the shader — the gather-heavy
+    configuration, benchmarked as the A/B against the TPU-first flagship."""
+    p = flagship_cache_params(config)
+
+    def grid(max_size, features):
+        return {
+            "hash_map_size": 524288, "max_grid_size": max_size,
+            "num_features": features, "scale_supersample": 1.0,
+            "interpolation": "trilinear", "bbox_scaling": 2.0,
+        }
+
+    prop_mlp = {
+        "net_depth": 2, "net_width": 64, "use_grid": True,
+        "disable_density_normals": True, "enable_pred_normals": False,
+        "normals_for_filter_only": True, "warp_fn": coord.contract_radius_2,
+    }
+    final_mlp = dict(p["sampler_params"]["mlp_params_per_level"][2])
+    p["sampler_params"]["mlp_params_per_level"] = (prop_mlp, prop_mlp, final_mlp)
+    p["sampler_params"]["grid_params_per_level"] = (
+        grid(512, 1), grid(1024, 1), grid(2048, 4),
+    )
+    p["shader_params"] = dict(
+        p["shader_params"],
+        use_grid=True, use_density_feature=False, grid_params=grid(2048, 4),
+        use_bf16_compute=False,
+    )
+    return p
+
+
+def build_reference_layout_cache_model(config):
+    return NeRFModel(config=config, **reference_layout_cache_params(config))
+
+
 def build_flagship_material_model(config):
     """Flagship material stage (`material_light_from_scratch_resample`).
 
@@ -250,6 +291,31 @@ def bench_train_steps(model, config, dataset, n_steps, batch_size):
 
 
 def main():
+    import sys
+
+    if "--ab-layout" in sys.argv:
+        # A/B: the reference's grids-on-all-levels layout, cache stage only.
+        # Separate invocation so the driver's default `python bench.py` line
+        # stays the flagship metric.
+        config = _cache_config()
+        dataset = datasets.SyntheticSpheres(
+            "train", None, config, num_images=8, resolution=128
+        )
+        dt, detail = bench_train_steps(
+            build_reference_layout_cache_model(config), config, dataset,
+            BENCH_STEPS, BATCH_SIZE,
+        )
+        print(json.dumps({
+            "metric": "train_rays_per_sec_cache_stage_reference_layout",
+            "value": round(BATCH_SIZE / dt, 1),
+            "unit": "rays/sec/chip",
+            "detail": detail,
+        }))
+        return
+    _main_default()
+
+
+def _cache_config():
     config = Config(
         dataset_loader="synthetic_spheres",
         batch_size=BATCH_SIZE,
@@ -270,6 +336,11 @@ def main():
         mask_lossmult=False,
         linear_to_srgb=True,
     )
+    return config
+
+
+def _main_default():
+    config = _cache_config()
     dataset = datasets.SyntheticSpheres("train", None, config, num_images=8, resolution=128)
 
     dt, cache_detail = bench_train_steps(
@@ -289,6 +360,7 @@ def main():
         material_loss_radius=4.0,
         data_loss_type="rawnerf_unbiased",
         use_gradient_debias=True,
+        gradient_checkpointing=True,
         distortion_loss_mult=0.0,
         predicted_normal_loss_mult=0.0,
         predicted_normal_reverse_loss_mult=0.0,

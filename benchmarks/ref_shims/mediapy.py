@@ -1,0 +1,3 @@
+"""Stub module (reference import shim — never called by the bench path)."""
+def __getattr__(name):
+    raise NotImplementedError("stub module 'mediapy' used by reference bench shim")

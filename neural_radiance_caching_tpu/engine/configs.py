@@ -279,6 +279,12 @@ class Config:
     checkpoint_dir: Optional[str] = None
     checkpoint_keep: int = 2
     gc_every: int = 10000
+    # When set, capture a jax.profiler trace of steps
+    # [profile_start_step, profile_start_step + profile_num_steps) into this
+    # directory (viewable with tensorboard / xprof).
+    profile_dir: Optional[str] = None
+    profile_start_step: int = 20
+    profile_num_steps: int = 5
     disable_pmap_and_jit: bool = False
     cast_rays_in_train_step: bool = False
     cast_rays_in_eval_step: bool = False

@@ -997,7 +997,17 @@ class Trainer:
         )
 
         batch = None
+        profiling = False
         for step in range(init_step, num_steps + 1):
+            if config.profile_dir:
+                if step == config.profile_start_step and not profiling:
+                    jax.profiler.start_trace(config.profile_dir)
+                    profiling = True
+                elif profiling and step == (
+                    config.profile_start_step + config.profile_num_steps
+                ):
+                    jax.profiler.stop_trace()
+                    profiling = False
             for s in range(self.grad_accum_steps):
                 # Device batches arrive from the prefetch thread (transfer of
                 # batch N+1 overlaps step N); with secondary accumulation the

@@ -246,12 +246,18 @@ class BaseDensityMLP(nn.Module):
         else:
             # One VJP over the whole batch: d(sum sigma)/d(means) is the
             # per-sample spatial gradient because the map means -> sigma_i is
-            # pointwise (see module docstring).
+            # pointwise (see module docstring). The outer loss differentiates
+            # through these normals (second-order AD), which the Pallas
+            # scatter VJP does not support — the whole inner graph uses the
+            # pure-XLA encoder.
+            from neural_radiance_caching_tpu.ops import hashgrid
+
             def density_of_means(m):
-                return self.predict_density(
-                    m, covs, control_offsets, perp_mag, density_key, is_secondary,
-                    viewdirs=viewdirs,
-                )
+                with hashgrid.xla_encoder_scope():
+                    return self.predict_density(
+                        m, covs, control_offsets, perp_mag, density_key,
+                        is_secondary, viewdirs=viewdirs,
+                    )
 
             (raw_density, feat), vjp_fn = jax.vjp(density_of_means, means, has_aux=False)
             # Pull back a ones-cotangent on raw_density only.

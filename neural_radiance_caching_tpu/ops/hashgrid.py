@@ -401,6 +401,27 @@ def force_xla_encoder(value: bool = True) -> None:
     _FORCE_XLA_ENCODER = bool(value)
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def xla_encoder_scope():
+    """Force the pure-XLA encoder for calls traced inside this block.
+
+    The Pallas scatter custom-VJP is first-order only: taking gradients
+    THROUGH the backward (e.g. the analytic density-normals inner
+    jax.vjp, whose outer loss then differentiates the normals) hits the
+    pallas_call JVP rule and fails. XLA autodiff composes to any order.
+    """
+    global _FORCE_XLA_ENCODER
+    prev = _FORCE_XLA_ENCODER
+    _FORCE_XLA_ENCODER = True
+    try:
+        yield
+    finally:
+        _FORCE_XLA_ENCODER = prev
+
+
 def multires_grid_encode(
     x,
     hash_tables,

@@ -211,14 +211,24 @@ def compute_data_loss(batch, rendering, rays, config, main=False, train_frac=1.0
     """RGB data loss + stats (train_utils.py:402-528)."""
     del train_frac
     stats = collections.defaultdict(list)
-    lossmult = jnp.broadcast_to(rays.lossmult, batch.rgb[..., :3].shape)
+    # Per-ray lossmult broadcast over the target: transient targets carry an
+    # extra time-bin axis the ray fields don't have.
+    lm = rays.lossmult
+    while lm.ndim < batch.rgb[..., :3].ndim:
+        lm = lm[..., None, :]
+    lossmult = jnp.broadcast_to(lm, batch.rgb[..., :3].shape)
 
     if config.convert_srgb:
         rendering = jaxutil.copy_tree(rendering)
         rendering["rgb"] = image.linear_to_srgb(rendering["rgb"])
         batch = batch.replace(rgb=image.linear_to_srgb(batch.rgb[..., :3]))
 
-    masks = batch.masks if batch.masks is not None else jnp.ones_like(lossmult)
+    if batch.masks is not None:
+        masks = batch.masks
+        while masks.ndim < lossmult.ndim:
+            masks = masks[..., None, :]
+    else:
+        masks = jnp.ones_like(lossmult)
     if config.mask_lossmult or ("unbiased" in config.data_loss_type):
         lossmult = lossmult * masks
         if "unbiased" not in config.data_loss_type:
@@ -230,8 +240,10 @@ def compute_data_loss(batch, rendering, rays, config, main=False, train_frac=1.0
 
     gt = batch.rgb[..., :3]
     if transient:
+        # Time-binned target [B, bins, 3]; lossmult collapses to one weight
+        # per (ray, bin) so the bin axis is never averaged against rgb.
         gt = batch.rgb
-        lossmult = jnp.broadcast_to(rays.lossmult[..., None, :], gt.shape[:-1] + (1,))
+        lossmult = lossmult[..., :1]
     rendering = jaxutil.copy_tree(rendering)
 
     if main and config.use_loss_clip and ("unbiased" not in config.data_loss_type):
@@ -243,16 +255,20 @@ def compute_data_loss(batch, rendering, rays, config, main=False, train_frac=1.0
             rendering["gt_nocorr"] = clip(rendering["gt_nocorr"])
         gt = clip(gt)
 
-    lossmult = jnp.where(gt[..., :1] > config.loss_thresh, 0.0, lossmult) if not transient else (
-        jnp.where(gt.max(axis=(-2, -1), keepdims=True)[..., 0] > config.loss_thresh, 0.0, lossmult)
-    )
+    if transient:
+        # A ray is dropped when its peak over (bins, channels) exceeds the
+        # threshold; keepdims keeps the [B, 1, 1] weight broadcastable.
+        peak = gt.max(axis=(-2, -1), keepdims=True)
+        lossmult = jnp.where(peak > config.loss_thresh, 0.0, lossmult)
+    else:
+        lossmult = jnp.where(gt[..., :1] > config.loss_thresh, 0.0, lossmult)
 
     if config.clip_eval:
         resid_sq = (jnp.clip(rendering["rgb"], 0.0, 1.0) - jnp.clip(gt, 0.0, 1.0)) ** 2
     else:
         resid_sq = (rendering["rgb"] - gt) ** 2
     if transient:
-        mse = (masks[..., None, :1] * lossmult[..., None] * resid_sq).mean()
+        mse = (masks[..., :1] * lossmult * resid_sq).mean()
     else:
         mse = (masks * lossmult * resid_sq).mean()
 
@@ -274,10 +290,7 @@ def compute_data_loss(batch, rendering, rays, config, main=False, train_frac=1.0
     if "bg_noise" in rendering and not transient:
         data_loss += (rendering["bg_noise"] ** 2) * masks
 
-    if transient:
-        sub_loss = (lossmult[..., None] * data_loss).mean()
-    else:
-        sub_loss = (lossmult * data_loss).mean()
+    sub_loss = (lossmult * data_loss).mean()
 
     stats["mses"].append(mse * config.data_loss_mult)
     if config.compute_disp_metrics and batch.disps is not None:

@@ -208,7 +208,10 @@ def _compute_losses_for_output(
         config.normal_weight_ease_frac,
         config.normal_weight_ease_min,
     ) * decay_bwd
-    beta = jnp.ones_like(last["weights"][..., :1])
+    # Per-sample beta [B, S, 1] (reference train_utils.py:3274 builds it from
+    # normals[..., :1]); beta[..., 0] must broadcast against the [B, S]
+    # weighted normal-alignment term.
+    beta = jnp.ones_like(last["weights"][..., None])
     if config.predicted_normal_loss_mult > 0:
         losses[prefix + "predicted_normals"] = losses_lib.predicted_normal_loss(
             last,
@@ -324,12 +327,38 @@ def create_train_step(
         # forward is not recomputed and the Pallas scatter VJP executes
         # exactly once — re-execution of the kernel under plain remat
         # crashed the TPU runtime.
-        forward = jax.checkpoint(
-            forward,
+        #
+        # Model outputs mix arrays with static metadata (loss_type strings,
+        # python-scalar loss weights) that jax.checkpoint rejects; the
+        # static leaves ride around the remat boundary.
+        base_forward = forward
+        static_box = {}
+
+        def arrays_forward(params, rng, rays, train_frac):
+            out = base_forward(params, rng, rays, train_frac)
+            leaves, treedef = jax.tree_util.tree_flatten(out)
+            is_array = [isinstance(x, jnp.ndarray) for x in leaves]
+            static_box["spec"] = (
+                treedef,
+                is_array,
+                [None if a else x for x, a in zip(leaves, is_array)],
+            )
+            return [x for x, a in zip(leaves, is_array) if a]
+
+        ckpt_forward = jax.checkpoint(
+            arrays_forward,
             policy=jax.checkpoint_policies.save_only_these_names(
                 "grid_encode"
             ),
         )
+
+        def forward(params, rng, rays, train_frac):
+            arrays = ckpt_forward(params, rng, rays, train_frac)
+            treedef, is_array, statics = static_box["spec"]
+            it = iter(arrays)
+            leaves = [next(it) if a else s
+                      for a, s in zip(is_array, statics)]
+            return jax.tree_util.tree_unflatten(treedef, leaves)
 
     def loss_fn(params, rng, batch, train_frac):
         cast_key = jax.random.fold_in(rng, 0xCA57)

@@ -30,7 +30,7 @@ from neural_radiance_caching_tpu.utils import pytrees
 CACHE_STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 1200
 MAT_STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
 BATCH = 8192
-MAT_BATCH = 2048
+MAT_BATCH = 768
 RES = 128
 
 
@@ -148,6 +148,7 @@ def main():
         material_loss_radius=4.0,
         data_loss_type="rawnerf_unbiased",
         use_gradient_debias=True,
+        gradient_checkpointing=True,
         distortion_loss_mult=0.0,
         predicted_normal_loss_mult=0.0,
         predicted_normal_reverse_loss_mult=0.0,

@@ -146,3 +146,35 @@ def test_shift_transient_matches_map_coordinates():
     y = y - moves[:, None, None]
     ref = jax.scipy.ndimage.map_coordinates(t, jnp.stack([x, y, z]), 1, mode="constant")
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_transient_train_step_e2e():
+    """Full sharded train step on the time-binned cache: data loss shapes
+    with the extra bins axis (lossmult [B,1] vs target [B,bins,3]) and the
+    in-step ray-casting path both regressed silently before this test."""
+    from neural_radiance_caching_tpu.data import datasets
+    from neural_radiance_caching_tpu.parallel import mesh as mesh_lib
+    from neural_radiance_caching_tpu.parallel import train as train_lib
+
+    config = Config(
+        near=2.0, far=6.0, mask_lossmult=False, use_transient=True,
+        n_bins=N_BINS, exposure_time=0.5, dataset_loader="synthetic_spheres",
+        batch_size=32, max_steps=2, lr_init=1e-3, lr_final=1e-3,
+        lr_delay_steps=0, data_loss_type="mse",
+        interlevel_loss_mults=(0.01, 0.01),
+        interlevel_loss_blurs=(0.03, 0.003),
+    )
+    model = TransientNeRFModel(config=config, **cache_params())
+    variables = jax.jit(functools.partial(model.init, train_frac=1.0, train=True))(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1), pytrees.dummy_rays(4)
+    )
+    dataset = datasets.SyntheticSpheres("train", None, config, num_images=2,
+                                        resolution=8)
+    mesh = mesh_lib.create_mesh()
+    state, _ = train_lib.create_optimizer(config, variables)
+    state = mesh_lib.replicate(state, mesh)
+    step = train_lib.create_train_step(model, config, mesh=mesh)
+    batch = mesh_lib.shard_batch(dataset.next_train(), mesh)
+    assert batch.rgb.ndim == 3 and batch.rgb.shape[1] == N_BINS
+    state, stats = step(jax.random.PRNGKey(0), state, batch, 0.5)
+    assert np.isfinite(float(stats["loss"]))
