@@ -285,7 +285,14 @@ class Config:
     profile_dir: Optional[str] = None
     profile_start_step: int = 20
     profile_num_steps: int = 5
+    # Run the whole train loop eagerly (jax.disable_jit) — the single-device
+    # determinism escape hatch, reference trainer.py:595-596 (there via
+    # chex.fake_pmap_and_jit over the pmapped step).
     disable_pmap_and_jit: bool = False
+    # Per-step debug instrumentation (reference train_utils.py:3101-3156):
+    # per-module weight/grad norms + maxes in stats, non-finite / all-zero
+    # gradient warnings, ray-distance percentile histograms.
+    debug_mode: bool = False
     cast_rays_in_train_step: bool = False
     cast_rays_in_eval_step: bool = False
     randomized: bool = True

@@ -85,6 +85,12 @@ def render_image(
                         m2_out[k] = np.zeros_like(v)
         for k, v in mean_out.items():
             accum.setdefault(k, []).append(v)
+        if getattr(config, "debug_mode", False):
+            # Per-chunk device memory watermark (reference
+            # utils.log_memory_usage, models.py:2415).
+            stats = jax.devices()[0].memory_stats() or {}
+            used = stats.get("bytes_in_use", 0) / 2**30
+            print(f"render chunk {count}: {used:.2f} GiB in use", flush=True)
         if render_repeats > 1 and "rgb" in m2_out:
             accum.setdefault("rgb_variance", []).append(
                 m2_out["rgb"] / max(render_repeats - 1, 1)

@@ -969,6 +969,15 @@ class Trainer:
     # --- train -----------------------------------------------------------------
 
     def train(self):
+        if self.config.disable_pmap_and_jit:
+            # Single-device determinism escape hatch (reference
+            # trainer.py:595-596 via chex.fake_pmap_and_jit): run the whole
+            # loop eagerly so python debuggers/prints work inside the step.
+            with jax.disable_jit():
+                return self._train_impl()
+        return self._train_impl()
+
+    def _train_impl(self):
         config = self.config
         self.state = mesh_lib.replicate(self.state, self.mesh)
 

@@ -110,6 +110,17 @@ def create_optimizer(config, variables):
     return state, lr_fn_main
 
 
+def _summarize_tree(fn, params):
+    """One scalar per top-level module (reference train_utils summarize_tree):
+    fn over the concatenation of that module's flattened leaves."""
+    return {
+        k: fn(jnp.concatenate(
+            [jnp.ravel(x) for x in jax.tree_util.tree_leaves(v)]
+        ))
+        for k, v in params.items()
+    }
+
+
 # --- Loss assembly ----------------------------------------------------------------
 
 
@@ -418,6 +429,27 @@ def create_train_step(
 
         total = sum(jax.tree_util.tree_leaves(losses))
         stats["losses"] = losses
+
+        if config.debug_mode:
+            # Reference train_utils.py:3101-3117: per-module weight norms +
+            # ray-distance percentile histograms for sampler debugging.
+            stats["weight_l2s"] = _summarize_tree(
+                lambda x: jnp.sum(x**2), params["params"]
+            )
+            pct = lambda x: jnp.percentile(
+                x.flatten(), jnp.linspace(0, 100, 101)
+            )
+            sampler_results = model_results.get("cache_main", model_results.get("main", {})).get("sampler")
+            for ri, rh in enumerate(sampler_results or ()):
+                s, t = rh["sdist"], rh["tdist"]
+                stats[f"ray_normalized_distance{ri}"] = pct(s)
+                stats[f"ray_normalized_distance{ri}_log_delta"] = math.safe_log(
+                    pct(s[..., 1:] - s[..., :-1])
+                )
+                stats[f"ray_metric_distance{ri}_log"] = math.safe_log(pct(t))
+                stats[f"ray_metric_distance{ri}_log_delta"] = math.safe_log(
+                    pct(t[..., 1:] - t[..., :-1])
+                )
         return total, stats
 
     def train_step(rng, state, batch, train_frac):
@@ -425,6 +457,31 @@ def create_train_step(
         (loss, stats), grad = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, step_rng, batch, train_frac
         )
+        if config.debug_mode:
+            # Per-module gradient health (reference train_utils.py:3140-3156).
+            stats["grad_norms"] = _summarize_tree(
+                lambda x: jnp.sqrt(jnp.sum(x**2)), grad["params"]
+            )
+            stats["grad_maxes"] = _summarize_tree(
+                lambda x: jnp.max(jnp.abs(x)), grad["params"]
+            )
+            for name, g in flax.traverse_util.flatten_dict(
+                grad, sep="/"
+            ).items():
+                jax.lax.cond(
+                    jnp.any(~jnp.isfinite(g)),
+                    lambda name=name: jax.debug.print(
+                        f"Warning: {name} has non-finite grads"
+                    ),
+                    lambda: None,
+                )
+                jax.lax.cond(
+                    jnp.all(g == 0),
+                    lambda name=name: jax.debug.print(
+                        f"Warning: {name} has all-zero grads"
+                    ),
+                    lambda: None,
+                )
         grad = jax.tree_util.tree_map(jnp.nan_to_num, grad)
         grad = losses_lib.clip_gradients(grad, config)
         new_state = state.apply_gradients(grads=grad)

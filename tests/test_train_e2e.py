@@ -182,3 +182,35 @@ def test_simplex_interpolation_learns():
     finally:
         TINY_GRID.clear()
         TINY_GRID.update(saved)
+
+
+def test_debug_mode_instrumentation():
+    """Config.debug_mode: per-module weight/grad summaries + ray histograms
+    land in stats (reference train_utils.py:3101-3156)."""
+    import functools
+
+    from neural_radiance_caching_tpu.utils import pytrees
+
+    config = Config(
+        dataset_loader="synthetic_spheres", batch_size=16, near=2.0, far=6.0,
+        max_steps=2, lr_init=1e-3, lr_final=1e-3, lr_delay_steps=0,
+        data_loss_type="charb", interlevel_loss_mults=(0.01, 0.01),
+        interlevel_loss_blurs=(0.03, 0.003), linear_to_srgb=True,
+        mask_lossmult=False, debug_mode=True,
+    )
+    model = make_tiny_model(config)
+    variables = jax.jit(functools.partial(model.init, train_frac=1.0, train=True))(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1), pytrees.dummy_rays(4)
+    )
+    dataset = datasets.SyntheticSpheres("train", None, config, num_images=2,
+                                        resolution=8)
+    mesh = mesh_lib.create_mesh()
+    state, _ = train_lib.create_optimizer(config, variables)
+    state = mesh_lib.replicate(state, mesh)
+    step = train_lib.create_train_step(model, config, mesh=mesh)
+    batch = mesh_lib.shard_batch(dataset.next_train(), mesh)
+    state, stats = step(jax.random.PRNGKey(0), state, batch, 0.5)
+    assert "grad_norms" in stats and "weight_l2s" in stats
+    assert any(k.startswith("ray_normalized_distance") for k in stats)
+    for v in stats["grad_norms"].values():
+        assert np.isfinite(float(v))
