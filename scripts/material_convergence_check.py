@@ -27,8 +27,12 @@ from neural_radiance_caching_tpu.parallel import mesh as mesh_lib
 from neural_radiance_caching_tpu.parallel import train as train_lib
 from neural_radiance_caching_tpu.utils import pytrees
 
-CACHE_STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 1200
-MAT_STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+_args = [a for a in sys.argv[1:] if not a.startswith("--") and a != "reference"]
+CACHE_STEPS = int(_args[0]) if len(_args) > 0 else 1200
+MAT_STEPS = int(_args[1]) if len(_args) > 1 else 1000
+# --layout reference: grids-on-all-levels (the reference default) for the
+# quality A/B against the TPU-first flagship.
+LAYOUT = "reference" if "--layout" in sys.argv else "flagship"
 BATCH = 8192
 MAT_BATCH = 768
 RES = 128
@@ -136,8 +140,22 @@ def main():
     train_ds = datasets.SyntheticSpheres("train", None, config, num_images=16,
                                          resolution=RES)
     print(f"[cache] training {CACHE_STEPS} steps @ batch {BATCH}", flush=True)
-    cache_model = bench.build_flagship_cache_model(config)
+    if LAYOUT == "reference":
+        cache_model = bench.build_reference_layout_cache_model(config)
+    else:
+        cache_model = bench.build_flagship_cache_model(config)
     cache_state = train_model(cache_model, config, train_ds, CACHE_STEPS, rng)
+
+    if MAT_STEPS <= 0:
+        # Cache-only quality check: report the cache render's test PSNR.
+        test_ds = datasets.SyntheticSpheres("test", None, config, num_images=2,
+                                            resolution=RES)
+        metrics = eval_material(cache_model, config, cache_state, test_ds)
+        print(f"RESULT layout={LAYOUT} "
+              + " ".join(f"{k}={v:.3f}" for k, v in metrics.items()),
+              flush=True)
+        return
+
     cache_params = jax.device_get(cache_state.params)
     del cache_state
 
