@@ -1,0 +1,121 @@
+"""Capture a jax.profiler trace of the material-stage train step and print
+the top self-time ops (gather/scatter vs MXU split).
+
+Usage: python benchmarks/profile_material_step.py [--cache] [--trace-dir D]
+"""
+
+import glob
+import gzip
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+import bench
+from neural_radiance_caching_tpu.data import datasets
+from neural_radiance_caching_tpu.parallel import mesh as mesh_lib
+from neural_radiance_caching_tpu.parallel import train as train_lib
+from neural_radiance_caching_tpu.utils import pytrees
+
+TRACE_DIR = "/tmp/mat_trace"
+
+
+def summarize_xplane(trace_dir):
+    """Aggregate self-time by op category from the captured xplane proto."""
+    from tensorboard_plugin_profile.protobuf import xplane_pb2
+
+    paths = glob.glob(
+        os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True
+    )
+    if not paths:
+        print("no xplane found under", trace_dir)
+        return
+    xspace = xplane_pb2.XSpace()
+    with open(sorted(paths)[-1], "rb") as f:
+        xspace.ParseFromString(f.read())
+
+    for plane in xspace.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+            continue
+        # Build metadata map: id -> name.
+        meta = {m.id: m.name for _, m in plane.event_metadata.items()}
+        totals = {}
+        for line in plane.lines:
+            # Only the op-level lines (XLA Ops) carry per-op events.
+            if "XLA Ops" not in line.name and "xla" not in line.name.lower():
+                continue
+            for ev in line.events:
+                name = meta.get(ev.metadata_id, "?")
+                totals[name] = totals.get(name, 0) + ev.duration_ps
+        if not totals:
+            continue
+        total = sum(totals.values())
+        print(f"\nplane: {plane.name}  total op-time {total/1e12:.3f} s")
+        cats = {}
+        for name, t in totals.items():
+            base = name.split(".")[0].split("-")[0]
+            cats[base] = cats.get(base, 0) + t
+        for name, t in sorted(cats.items(), key=lambda kv: -kv[1])[:18]:
+            print(f"  {100*t/total:5.1f}%  {t/1e9:9.2f} ms  {name}")
+        return
+
+
+def main():
+    cache_only = "--cache" in sys.argv
+    for i, a in enumerate(sys.argv):
+        if a == "--trace-dir":
+            globals()["TRACE_DIR"] = sys.argv[i + 1]
+
+    config = bench._cache_config()
+    if not cache_only:
+        import dataclasses
+
+        config = dataclasses.replace(
+            config, batch_size=bench.MATERIAL_BATCH_SIZE, secondary_far=4.0,
+            material_loss_radius=4.0, data_loss_type="rawnerf_unbiased",
+            use_gradient_debias=True, gradient_checkpointing=True,
+            distortion_loss_mult=0.0, predicted_normal_loss_mult=0.0,
+            predicted_normal_reverse_loss_mult=0.0,
+        )
+        model = bench.build_flagship_material_model(config)
+        batch_size = bench.MATERIAL_BATCH_SIZE
+    else:
+        model = bench.build_flagship_cache_model(config)
+        batch_size = bench.BATCH_SIZE
+
+    dataset = datasets.SyntheticSpheres(
+        "train", None, config, num_images=4, resolution=128
+    )
+    mesh = mesh_lib.create_mesh()
+    import functools
+
+    variables = jax.jit(functools.partial(model.init, train_frac=1.0, train=False))(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1), pytrees.dummy_rays(16)
+    )
+    state, _ = train_lib.create_optimizer(config, variables)
+    state = mesh_lib.replicate(state, mesh)
+    step = train_lib.create_train_step(model, config, mesh=mesh)
+    batches = [mesh_lib.shard_batch(dataset.next_train(), mesh) for _ in range(4)]
+    rng = jax.random.PRNGKey(0)
+    print("compiling...", flush=True)
+    for i in range(3):
+        state, stats = step(rng, state, batches[i % 4], 0.5)
+    print("warm, loss:", float(stats["loss"]), flush=True)
+
+    os.makedirs(TRACE_DIR, exist_ok=True)
+    jax.profiler.start_trace(TRACE_DIR)
+    for i in range(3):
+        with jax.profiler.StepTraceAnnotation("train", step_num=i):
+            state, stats = step(rng, state, batches[i % 4], 0.5)
+    _ = float(stats["loss"])
+    jax.profiler.stop_trace()
+    print("trace captured", flush=True)
+    summarize_xplane(TRACE_DIR)
+
+
+if __name__ == "__main__":
+    main()
