@@ -214,3 +214,66 @@ def test_debug_mode_instrumentation():
     assert any(k.startswith("ray_normalized_distance") for k in stats)
     for v in stats["grad_norms"].values():
         assert np.isfinite(float(v))
+
+
+def test_analytic_normals_full_geometry_losses():
+    """Train step with ANALYTIC density normals (disable_density_normals=
+    False, as the nero/glossy/transient configs use) plus every geometry
+    loss those configs enable. This path requires second-order AD through
+    the encoder (handled by hashgrid.xla_encoder_scope) and per-sample
+    beta shapes — both regressed silently before being pinned here."""
+    import functools
+
+    from neural_radiance_caching_tpu.utils import pytrees
+
+    mlp = {
+        "net_depth": 1, "net_width": 16, "disable_density_normals": False,
+        "enable_pred_normals": True, "warp_fn": coord.contract_radius_2,
+    }
+    strategy = ((0, 0, 6), (1, 1, 6), (2, 2, 4))
+    config = Config(
+        dataset_loader="synthetic_spheres", batch_size=16, near=2.0, far=6.0,
+        max_steps=2, lr_init=1e-3, lr_final=1e-3, lr_delay_steps=0,
+        data_loss_type="charb", interlevel_loss_mults=(0.01, 0.01),
+        interlevel_loss_blurs=(0.03, 0.003), linear_to_srgb=True,
+        mask_lossmult=True, predicted_normal_loss_mult=0.05,
+        predicted_normal_reverse_loss_mult=0.05, orientation_loss_mult=0.01,
+        eikonal_loss_mult=0.01, distortion_loss_mult=0.01,
+        use_normal_weight_ease=True, use_normal_weight_decay=True,
+        opaque_loss_weight=0.01, empty_loss_weight=0.01,
+    )
+    model = NeRFModel(
+        config=config,
+        sampler_params={
+            "sampling_strategy": strategy,
+            "mlp_params_per_level": (mlp, mlp, mlp),
+            "grid_params_per_level": (TINY_GRID, TINY_GRID, TINY_GRID),
+            "dilation_bias": 0.0, "dilation_multiplier": 0.0,
+            "raydist_fn": None,
+        },
+        shader_params={
+            "net_depth": 0, "net_width": 16, "bottleneck_width": 16,
+            "use_grid": True, "grid_params": TINY_GRID,
+            "warp_fn": coord.contract_radius_2,
+            "use_reflections": True, "surface_lf_params": SLF_PARAMS,
+            "net_depth_brdf": 1, "net_width_brdf": 8,
+            "rgb_activation": jax.nn.softplus,
+        },
+        train_sampling_strategy=strategy,
+        render_sampling_strategy=strategy,
+    )
+    variables = jax.jit(functools.partial(model.init, train_frac=1.0, train=True))(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1), pytrees.dummy_rays(4)
+    )
+    dataset = datasets.SyntheticSpheres("train", None, config, num_images=2,
+                                        resolution=8)
+    mesh = mesh_lib.create_mesh()
+    state, _ = train_lib.create_optimizer(config, variables)
+    state = mesh_lib.replicate(state, mesh)
+    step = train_lib.create_train_step(model, config, mesh=mesh)
+    batch = mesh_lib.shard_batch(dataset.next_train(), mesh)
+    state, stats = step(jax.random.PRNGKey(0), state, batch, 0.5)
+    expected = {"data", "distortion", "eikonal", "orientation",
+                "predicted_normals", "predicted_normals_reverse", "mask"}
+    assert expected <= set(stats["losses"]), sorted(stats["losses"])
+    assert np.isfinite(float(stats["loss"]))
