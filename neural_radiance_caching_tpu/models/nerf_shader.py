@@ -473,6 +473,18 @@ class BaseNeRFMLP(shading.BaseShader):
         del normals, viewdirs, feature, bottleneck
         return tint * integrated_brdf * ref_rgb
 
+    def _query_reflected_light(self, rng, module, rays, sampler_results, means,
+                               normals, roughness, bottleneck, train,
+                               train_frac, kwargs):
+        """Evaluate a surface-light-field-style module (SLF memory or env
+        map) along the reflected view direction at the given points."""
+        return module(
+            rng, rays, sampler_results, means,
+            self._get_refdirs(rays.viewdirs, normals, dict(kwargs)),
+            roughness=roughness, shader_bottleneck=bottleneck,
+            train=train, train_frac=train_frac,
+        )
+
     # --- top-level appearance --------------------------------------------------
 
     def predict_appearance(
@@ -505,22 +517,11 @@ class BaseNeRFMLP(shading.BaseShader):
         fn = self._predict_appearance_active if self.use_active else self._predict_appearance_passive
         key, rng = jaxutil.random_split(rng)
         return fn(
-            key,
-            rays,
-            sampler_results,
-            feature,
-            bottleneck,
-            roughness,
-            normals,
-            shading_normals,
-            train_frac=train_frac,
-            train=train,
-            zero_glo=zero_glo,
-            is_secondary=is_secondary,
-            radiance_cache=radiance_cache,
-            light_power=light_power,
-            passes=passes,
-            **kwargs,
+            key, rays, sampler_results, feature, bottleneck, roughness,
+            normals, shading_normals,
+            train_frac=train_frac, train=train, zero_glo=zero_glo,
+            is_secondary=is_secondary, radiance_cache=radiance_cache,
+            light_power=light_power, passes=passes, **kwargs,
         )
 
     def _predict_appearance_active(
@@ -565,16 +566,9 @@ class BaseNeRFMLP(shading.BaseShader):
         direct = direct_diffuse + direct_specular
 
         key, rng = jaxutil.random_split(rng)
-        incoming_outputs = self.surface_lf(
-            key,
-            rays,
-            sampler_results,
-            means,
-            self._get_refdirs(viewdirs, normals, kwargs),
-            roughness=roughness,
-            shader_bottleneck=bottleneck,
-            train=train,
-            train_frac=train_frac,
+        incoming_outputs = self._query_reflected_light(
+            key, self.surface_lf, rays, sampler_results, means, normals,
+            roughness, bottleneck, train, train_frac, kwargs,
         )
         ref_rgb = incoming_outputs["incoming_rgb"]
         ambient_ref_rgb = incoming_outputs["incoming_ambient_rgb"]
@@ -604,23 +598,26 @@ class BaseNeRFMLP(shading.BaseShader):
             ambient_diffuse = jnp.zeros_like(ambient_ref_rgb)
             ambient_specular = jnp.zeros_like(ambient_ref_rgb)
 
-        ambient_diffuse = stopgrad_with_weight(
-            jnp.clip(ambient_diffuse, 0.0, self.rgb_max), self.stopgrad_ambient_weight
+        # Gradient damping per lighting component: ambient additionally
+        # clamps to rgb_max before the partial stop-gradient.
+        damp_ambient = lambda x: stopgrad_with_weight(
+            jnp.clip(x, 0.0, self.rgb_max), self.stopgrad_ambient_weight
         )
-        ambient_specular = stopgrad_with_weight(
-            jnp.clip(ambient_specular, 0.0, self.rgb_max), self.stopgrad_ambient_weight
+        damp_indirect = lambda x: stopgrad_with_weight(
+            x, self.stopgrad_indirect_weight
+        )
+        ambient_diffuse, ambient_specular = map(
+            damp_ambient, (ambient_diffuse, ambient_specular)
+        )
+        indirect_diffuse, indirect_specular = map(
+            damp_indirect, (indirect_diffuse, indirect_specular)
         )
         ambient = ambient_diffuse + ambient_specular
-
-        indirect_diffuse = stopgrad_with_weight(indirect_diffuse, self.stopgrad_indirect_weight)
-        indirect_specular = stopgrad_with_weight(indirect_specular, self.stopgrad_indirect_weight)
         indirect = indirect_diffuse + indirect_specular
 
-        diffuse = direct_diffuse + indirect_diffuse + ambient_diffuse
-        specular = direct_specular + indirect_specular + ambient_specular
-        rgb = direct + ambient + indirect
-
         if len(passes) > 0 and "indirect" not in passes:
+            # Direct-only probe pass: the indirect machinery above still ran
+            # (it shares RNG draws with the full pass) but is discarded.
             return {
                 "rgb": direct,
                 "direct_rgb": direct,
@@ -628,44 +625,49 @@ class BaseNeRFMLP(shading.BaseShader):
                 "transient_indirect": None,
             }
 
-        outputs["rgb"] = rgb
-        outputs["diffuse_rgb"] = diffuse
-        outputs["specular_rgb"] = specular
-        outputs["ambient_rgb"] = ambient
-        outputs["indirect_rgb"] = indirect + ambient
-        outputs["albedo_rgb"] = albedo
-        if "occ" not in sampler_results:
-            outputs["occ"] = occ * jnp.ones_like(rgb)
-        else:
-            outputs["occ"] = jnp.zeros_like(rgb)
-        outputs["indirect_occ"] = incoming_outputs["incoming_acc"][..., None] * jnp.ones_like(rgb)
-        outputs["direct_rgb"] = direct
-        outputs["indirect_diffuse_rgb"] = indirect_diffuse + ambient_diffuse
-        outputs["direct_diffuse_rgb"] = direct_diffuse
-        outputs["direct_specular_rgb"] = direct_specular
-        outputs["indirect_specular_rgb"] = indirect_specular + ambient_specular
-        outputs["ambient_diffuse_rgb"] = ambient_diffuse
-        outputs["ambient_specular_rgb"] = ambient_specular
+        rgb = direct + ambient + indirect
+        like_rgb = lambda x: x * jnp.ones_like(rgb)
+        outputs.update(
+            rgb=rgb,
+            direct_rgb=direct,
+            ambient_rgb=ambient,
+            albedo_rgb=albedo,
+            # Per-channel splits; ambient folds into the indirect buffers.
+            diffuse_rgb=direct_diffuse + indirect_diffuse + ambient_diffuse,
+            specular_rgb=direct_specular + indirect_specular + ambient_specular,
+            indirect_rgb=indirect + ambient,
+            direct_diffuse_rgb=direct_diffuse,
+            direct_specular_rgb=direct_specular,
+            indirect_diffuse_rgb=indirect_diffuse + ambient_diffuse,
+            indirect_specular_rgb=indirect_specular + ambient_specular,
+            ambient_diffuse_rgb=ambient_diffuse,
+            ambient_specular_rgb=ambient_specular,
+            # Shadowing: primary occ is zeroed when the sampler already
+            # carries one (resampled secondary shading).
+            occ=(
+                like_rgb(occ) if "occ" not in sampler_results
+                else jnp.zeros_like(rgb)
+            ),
+            indirect_occ=like_rgb(incoming_outputs["incoming_acc"][..., None]),
+            n_dot_l_rgb=like_rgb(n_dot_l),
+            light_radiance_rgb=like_rgb(light_radiance_mult),
+            irradiance_rgb=n_dot_l * light_radiance_before_occ / jnp.pi,
+            ray_dists=jnp.linalg.norm(
+                rays.origins[..., None, :] - means, axis=-1, keepdims=True
+            ),
+            light_dists=light_dists,
+        )
 
-        if transient_indirect is not None:
-            sw = self.stopgrad_indirect_weight
-            outputs["transient_indirect"] = stopgrad_with_weight(transient_indirect, sw)
-            outputs["transient_indirect_diffuse"] = stopgrad_with_weight(
-                transient_indirect_diffuse, sw
-            )
-            outputs["transient_indirect_specular"] = stopgrad_with_weight(
-                transient_indirect_specular, sw
-            )
-        else:
+        if transient_indirect is None:
             outputs["transient_indirect"] = None
-
-        outputs["n_dot_l_rgb"] = n_dot_l * jnp.ones_like(rgb)
-        outputs["light_radiance_rgb"] = light_radiance_mult * jnp.ones_like(rgb)
-        outputs["irradiance_rgb"] = n_dot_l * light_radiance_before_occ / jnp.pi
-
-        ray_offset = rays.origins[..., None, :] - means
-        outputs["ray_dists"] = jnp.linalg.norm(ray_offset, axis=-1, keepdims=True)
-        outputs["light_dists"] = light_dists
+        else:
+            outputs["transient_indirect"] = damp_indirect(transient_indirect)
+            outputs["transient_indirect_diffuse"] = damp_indirect(
+                transient_indirect_diffuse
+            )
+            outputs["transient_indirect_specular"] = damp_indirect(
+                transient_indirect_specular
+            )
         return outputs
 
     def _predict_appearance_passive(
@@ -689,16 +691,9 @@ class BaseNeRFMLP(shading.BaseShader):
 
         if self.use_env_map:
             key, rng = jaxutil.random_split(rng)
-            env_outputs = self.env_map(
-                key,
-                rays,
-                sampler_results,
-                means,
-                self._get_refdirs(viewdirs, normals, dict(kwargs)),
-                roughness=roughness,
-                shader_bottleneck=bottleneck,
-                train=train,
-                train_frac=train_frac,
+            env_outputs = self._query_reflected_light(
+                key, self.env_map, rays, sampler_results, means, normals,
+                roughness, bottleneck, train, train_frac, kwargs,
             )
             env_rgb = env_outputs["incoming_ambient_rgb"]
         else:
@@ -712,16 +707,9 @@ class BaseNeRFMLP(shading.BaseShader):
         )
 
         key, rng = jaxutil.random_split(rng)
-        incoming_outputs = self.surface_lf(
-            key,
-            rays,
-            sampler_results,
-            means,
-            self._get_refdirs(viewdirs, normals, kwargs),
-            roughness=roughness,
-            shader_bottleneck=bottleneck,
-            train=train,
-            train_frac=train_frac,
+        incoming_outputs = self._query_reflected_light(
+            key, self.surface_lf, rays, sampler_results, means, normals,
+            roughness, bottleneck, train, train_frac, kwargs,
         )
         ref_rgb = incoming_outputs["incoming_ambient_rgb"]
         ref_acc = incoming_outputs["incoming_acc"][..., None]
@@ -751,27 +739,32 @@ class BaseNeRFMLP(shading.BaseShader):
         if len(passes) > 0 and "specular" not in passes:
             return {"rgb": diffuse, "diffuse_rgb": diffuse, "specular_rgb": None}
 
-        outputs["rgb"] = rgb
-        outputs["diffuse_rgb"] = diffuse
-        outputs["specular_rgb"] = specular
-        outputs["ambient_rgb"] = ambient
-        outputs["indirect_rgb"] = indirect
-        outputs["albedo_rgb"] = tint
-        outputs["occ"] = jnp.zeros_like(rgb)
-        outputs["indirect_occ"] = ref_acc * jnp.ones_like(rgb)
-        outputs["direct_rgb"] = ambient
-        outputs["indirect_diffuse_rgb"] = indirect_diffuse
-        outputs["direct_diffuse_rgb"] = ambient_diffuse
-        outputs["direct_specular_rgb"] = ambient_specular
-        outputs["indirect_specular_rgb"] = indirect_specular
-        outputs["ambient_diffuse_rgb"] = ambient_diffuse
-        outputs["ambient_specular_rgb"] = ambient_specular
-        outputs["transient_indirect"] = None
-        outputs["n_dot_l_rgb"] = jnp.zeros_like(rgb)
-        outputs["light_radiance_rgb"] = jnp.zeros_like(rgb)
-        outputs["irradiance_rgb"] = jnp.zeros_like(rgb)
-        outputs["ray_dists"] = jnp.linalg.norm(
-            rays.origins[..., None, :] - means, axis=-1, keepdims=True
+        # Passive shading has no point light: the "direct" buffers alias the
+        # ambient component so downstream consumers see a uniform contract.
+        zero = jnp.zeros_like(rgb)
+        outputs.update(
+            rgb=rgb,
+            diffuse_rgb=diffuse,
+            specular_rgb=specular,
+            ambient_rgb=ambient,
+            indirect_rgb=indirect,
+            albedo_rgb=tint,
+            occ=zero,
+            indirect_occ=ref_acc * jnp.ones_like(rgb),
+            direct_rgb=ambient,
+            direct_diffuse_rgb=ambient_diffuse,
+            direct_specular_rgb=ambient_specular,
+            indirect_diffuse_rgb=indirect_diffuse,
+            indirect_specular_rgb=indirect_specular,
+            ambient_diffuse_rgb=ambient_diffuse,
+            ambient_specular_rgb=ambient_specular,
+            transient_indirect=None,
+            n_dot_l_rgb=zero,
+            light_radiance_rgb=zero,
+            irradiance_rgb=zero,
+            ray_dists=jnp.linalg.norm(
+                rays.origins[..., None, :] - means, axis=-1, keepdims=True
+            ),
         )
         return outputs
 

@@ -173,6 +173,10 @@ def main():
         lr_init=0.004,
         lr_final=0.001,
         extra_opt_params={"Cache": {"lr_init": 0.0004, "lr_final": 0.0001}},
+        # Material render fans out 32 secondary samples per pixel with no
+        # remat; chunk 8192 compiles to a 34G buffer (reference README also
+        # renders the material stage at chunk 1024).
+        render_chunk_size=1024,
     )
     mat_ds = datasets.SyntheticSpheres("train", None, mat_config, num_images=16,
                                        resolution=RES)
