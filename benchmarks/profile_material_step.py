@@ -26,7 +26,7 @@ TRACE_DIR = "/tmp/mat_trace"
 
 def summarize_xplane(trace_dir):
     """Aggregate self-time by op category from the captured xplane proto."""
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(
         os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True
