@@ -178,3 +178,62 @@ def test_transient_train_step_e2e():
     assert batch.rgb.ndim == 3 and batch.rgb.shape[1] == N_BINS
     state, stats = step(jax.random.PRNGKey(0), state, batch, 0.5)
     assert np.isfinite(float(stats["loss"]))
+
+
+def test_transient_material_train_step_e2e():
+    """Sharded train step on the TRANSIENT material stage: time-binned data
+    loss + consistency losses + gradient debias over the full staged model,
+    on real (synthetic-spheres transient) batches."""
+    from neural_radiance_caching_tpu.data import datasets
+    from neural_radiance_caching_tpu.parallel import mesh as mesh_lib
+    from neural_radiance_caching_tpu.parallel import train as train_lib
+
+    config = Config(
+        near=2.0, far=6.0, secondary_far=2.0, mask_lossmult=False,
+        use_transient=True, n_bins=N_BINS, exposure_time=0.5,
+        dataset_loader="synthetic_spheres", batch_size=16, max_steps=2,
+        lr_init=1e-3, lr_final=1e-3, lr_delay_steps=0,
+        data_loss_type="rawnerf_transient_unbiased", use_gradient_debias=True,
+        material_loss_radius=2.0, interlevel_loss_mults=(0.01, 0.01),
+        interlevel_loss_blurs=(0.03, 0.003),
+        cache_consistency_loss_weight=0.1,
+        cache_consistency_loss_type="rawnerf_original",
+    )
+    model = TransientMaterialModel(
+        config=config,
+        cache_model_params=cache_params(),
+        use_light_sampler=True,
+        light_sampler_params={
+            "net_depth": 1, "net_width": 8, "bottleneck_width": 8,
+            "num_components": 4, "use_density_feature": False,
+            "use_grid": True, "grid_params": TINY_GRID,
+            "warp_fn": coord.contract_radius_2,
+        },
+        shader_params={
+            "net_depth": 0, "net_width": 8, "bottleneck_width": 8,
+            "use_density_feature": False, "use_grid": True,
+            "grid_params": TINY_GRID, "warp_fn": coord.contract_radius_2,
+            "num_secondary_samples": 4, "render_num_secondary_samples": 4,
+            "num_secondary_samples_diff": 2,
+            "render_num_secondary_samples_diff": 2,
+            "cache_train_sampling_strategy": ((0, 0, 4), (2, 2, 4)),
+            "cache_render_sampling_strategy": ((0, 0, 4), (2, 2, 4)),
+            "net_depth_brdf": 1, "net_width_brdf": 8,
+            "use_brdf_correction": False, "use_active": True,
+            "use_indirect": True,
+        },
+        resample=True, num_resample=1, slf_variate=False,
+    )
+    variables = jax.jit(functools.partial(model.init, train_frac=1.0, train=True))(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1), pytrees.dummy_rays(4)
+    )
+    dataset = datasets.SyntheticSpheres("train", None, config, num_images=2,
+                                        resolution=8)
+    mesh = mesh_lib.create_mesh()
+    state, _ = train_lib.create_optimizer(config, variables)
+    state = mesh_lib.replicate(state, mesh)
+    step = train_lib.create_train_step(model, config, mesh=mesh)
+    batch = mesh_lib.shard_batch(dataset.next_train(), mesh)
+    state, stats = step(jax.random.PRNGKey(0), state, batch, 0.5)
+    assert np.isfinite(float(stats["loss"]))
+    assert "data" in stats["losses"] and "cache_data" in stats["losses"]
