@@ -490,10 +490,26 @@ class BaseMaterialMLP(shading.BaseShader):
             ref_rays = ref_rays.replace(
                 normals=normals if self.shadow_eps_indirect else None
             )
+            # Flatten the (points, secondary) axes for the cache forward:
+            # rank-1 ray batches give XLA plain 2D matmuls and uniform
+            # layouts — the rank-3 form forces batched dots plus a chain of
+            # layout copies/slices (measured ~40% of the material step).
+            lead = ref_rays.origins.shape[:-1]
+            n_flat = int(np.prod(lead))
+            flat_rays = jax.tree_util.tree_map(
+                lambda x: (
+                    x.reshape((n_flat,) + x.shape[len(lead):])
+                    if x.shape[: len(lead)] == lead
+                    # Fields the fan-out didn't broadcast (pixel ints,
+                    # impulse response) pass through untouched.
+                    else x
+                ),
+                ref_rays,
+            )
             key, _ = jaxutil.random_split(rng)
             out = radiance_cache.cache(
                 key,
-                ref_rays,
+                flat_rays,
                 train_frac=train_frac,
                 train=train,
                 compute_extras=False,
@@ -515,6 +531,16 @@ class BaseMaterialMLP(shading.BaseShader):
                 ),
                 radiance_cache=radiance_cache,
                 stopgrad_cache_weight=self.stopgrad_cache_weight,
+            )
+            # Restore the (points, secondary) axes on every array the
+            # downstream shading consumes.
+            out = jax.tree_util.tree_map(
+                lambda x: (
+                    x.reshape(lead + x.shape[1:])
+                    if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n_flat
+                    else x
+                ),
+                out,
             )
             rgb = jnp.maximum(jnp.nan_to_num(out["render"]["rgb"]), 0.0)
             rgb_ns = jnp.maximum(jnp.nan_to_num(out["render"]["rgb_no_stopgrad"]), 0.0)
