@@ -78,9 +78,54 @@ def test_viewer_helpers():
     rays = viewer.cast_view_rays(pose, 4, 4, focal=5.0, near=0.1, far=5.0)
     assert rays.origins.shape == (16, 3)
     assert np.isfinite(np.asarray(rays.directions)).all()
-    v = viewer.Viewer()
-    with pytest.raises(ImportError):
-        v.setup(trainer=None)
+    # Orbit pose looks at the origin from the requested radius.
+    p = viewer.orbit_pose(33.0, 21.0, 4.0)
+    assert np.isclose(np.linalg.norm(p[:3, 3]), 4.0, atol=1e-5)
+    np.testing.assert_allclose(
+        p[:3, 2], -p[:3, 3] / np.linalg.norm(p[:3, 3]), atol=1e-5
+    )
+
+
+def test_http_viewer_roundtrip():
+    """The stdlib fallback viewer serves the page and renders a PNG frame
+    over a real HTTP round trip (no viser in this environment)."""
+    import functools
+    import socket
+    import types
+    import urllib.request
+
+    import jax
+
+    from neural_radiance_caching_tpu.engine import viewer
+    from neural_radiance_caching_tpu.engine.configs import Config
+    from neural_radiance_caching_tpu.utils import pytrees
+    from test_train_e2e import make_tiny_model
+
+    config = Config(near=0.5, far=6.0, dataset_loader="synthetic_spheres")
+    model = make_tiny_model(config)
+    variables = jax.jit(
+        functools.partial(model.init, train_frac=1.0, train=False)
+    )(jax.random.PRNGKey(0), jax.random.PRNGKey(1), pytrees.dummy_rays(4))
+    trainer = types.SimpleNamespace(
+        model=model, config=config,
+        state=types.SimpleNamespace(params=variables),
+    )
+    with socket.socket() as s:
+        s.bind(("", 0))
+        port = s.getsockname()[1]
+    hv = viewer.HttpViewer(trainer, port=port, resolution=8)
+    hv.serve_forever(background=True)
+    try:
+        page = urllib.request.urlopen(
+            f"http://localhost:{port}/", timeout=120
+        ).read()
+        assert b"orbit" in page
+        png = urllib.request.urlopen(
+            f"http://localhost:{port}/render?az=10&el=15&r=4", timeout=600
+        ).read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        hv.server.shutdown()
 
 
 def test_draw_transients():
