@@ -969,6 +969,14 @@ class Trainer:
     # --- train -----------------------------------------------------------------
 
     def train(self):
+        if self.viewer_only:
+            # Serve the interactive viewer over the restored checkpoint
+            # instead of training (the reference declares this flag but
+            # never consumes it; here it drives engine/viewer.py).
+            from neural_radiance_caching_tpu.engine import viewer as viewer_lib
+
+            viewer_lib.HttpViewer(self).serve_forever(background=False)
+            return
         if self.config.disable_pmap_and_jit:
             # Single-device determinism escape hatch (reference
             # trainer.py:595-596 via chex.fake_pmap_and_jit): run the whole
