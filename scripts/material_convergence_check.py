@@ -33,6 +33,26 @@ MAT_STEPS = int(_args[1]) if len(_args) > 1 else 1000
 # --layout reference: grids-on-all-levels (the reference default) for the
 # quality A/B against the TPU-first flagship.
 LAYOUT = "reference" if "--layout" in sys.argv else "flagship"
+# --analytic-normals: compute density normals on the final level (the
+# reference's default; second-order AD through the XLA encoder path) so the
+# predicted-normal losses actually supervise normals_pred — without them
+# those losses short-circuit to 0 and normals are only shaped indirectly.
+ANALYTIC_NORMALS = "--analytic-normals" in sys.argv
+
+if ANALYTIC_NORMALS:
+    _orig_cache_params = bench.flagship_cache_params
+
+    def _cache_params_analytic(config):
+        p = _orig_cache_params(config)
+        levels = p["sampler_params"]["mlp_params_per_level"]
+        final_mlp = dict(levels[2], disable_density_normals=False)
+        p["sampler_params"]["mlp_params_per_level"] = (
+            levels[0], levels[1], final_mlp,
+        )
+        return p
+
+    bench.flagship_cache_params = _cache_params_analytic
+
 BATCH = 8192
 MAT_BATCH = 768
 RES = 128
