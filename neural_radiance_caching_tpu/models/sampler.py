@@ -40,30 +40,34 @@ class ProposalVolumeSampler(nn.Module):
     mlp_params_per_level: Tuple[Any, ...] = ({}, {})
     grid_params_per_level: Tuple[Any, ...] = ()
 
-    anneal_slope: float = 10.0
-    anneal_end: float = 1.0
+    # Proposal-logit annealing schedule (Schlick bias over train_frac).
+    stop_level_grad: bool = True
     anneal_clip: float = 1.0
-    sampling_anneal_rate: float = 0.025
+    anneal_end: float = 1.0
+    anneal_slope: float = 10.0
     sampling_anneal_blur_start: float = 1.0
     sampling_anneal_blur_stop: float = 0.05
-    stop_level_grad: bool = True
+    sampling_anneal_rate: float = 0.025
 
+    # Secondary-ray density filters: each enable flag gates a spatial clamp
+    # on the proposal weights (sampling.py:422-637).
     use_uniform_radius: bool = False
+    use_normal_radius: bool = False
+    use_density_radius: bool = False
+    use_far_field_radius: bool = False
+    use_vertical_filter: bool = False
+    use_horizontal_filter: bool = False
+    use_backwards_filter: bool = False
     use_uniform_radius_secondary_only: bool = True
     normalize_uniform_weights: bool = False
     uniform_radius: float = float("inf")
-    use_normal_radius: bool = False
     normal_radius: float = float("inf")
-    use_density_radius: bool = False
     density_radius: float = float("inf")
-    use_far_field_radius: bool = False
     far_field_radius: float = float("inf")
-    use_vertical_filter: bool = False
     vertical_fov: float = np.pi
-    use_horizontal_filter: bool = False
     horizontal_fov: float = np.pi
-    use_backwards_filter: bool = False
 
+    # Interval drawing / compositing knobs.
     ray_shape: str = "cone"
     disable_integration: bool = False
     single_jitter: bool = True
@@ -112,6 +116,14 @@ class ProposalVolumeSampler(nn.Module):
             )
         return coord.construct_ray_warps(self.raydist_fn, rays.near, rays.far)
 
+    def _anneal(self, train_frac):
+        """Proposal-logit sharpening over training (Schlick's bias curve)."""
+        if self.anneal_slope <= 0:
+            return self.anneal_clip
+        x = train_frac / self.anneal_end
+        s = self.anneal_slope
+        return jnp.clip((s * x) / ((s - 1) * x + 1), 0.0, self.anneal_clip)
+
     @nn.compact
     def __call__(
         self,
@@ -149,14 +161,16 @@ class ProposalVolumeSampler(nn.Module):
 
         t_to_s, s_to_t = self._ray_warps(rays, use_raydist_fn)
 
-        if self.near_anneal_rate is None:
-            init_s_near = 0.0
-        else:
-            init_s_near = jnp.clip(
+        # Normalized-distance domain; the near edge optionally anneals open
+        # from near_anneal_init toward 0 early in training.
+        init_s_far = 1.0
+        init_s_near = (
+            0.0
+            if self.near_anneal_rate is None
+            else jnp.clip(
                 1 - train_frac / self.near_anneal_rate, 0, self.near_anneal_init
             )
-        init_s_far = 1.0
-
+        )
         sdist = jnp.concatenate(
             [jnp.full_like(rays.near, init_s_near), jnp.full_like(rays.far, init_s_far)],
             axis=-1,
@@ -187,23 +201,12 @@ class ProposalVolumeSampler(nn.Module):
 
             prod_num_samples *= num_samples
 
-            if self.anneal_slope > 0:
-                # Schlick's bias curve.
-                bias = lambda x, s: (s * x) / ((s - 1) * x + 1)
-                anneal = jnp.clip(
-                    bias(train_frac / self.anneal_end, self.anneal_slope), 0.0, self.anneal_clip
-                )
-            else:
-                anneal = self.anneal_clip
-
-            logits_resample = anneal * math.safe_log(resample_weights + self.resample_padding)
-
+            logits_resample = self._anneal(train_frac) * math.safe_log(
+                resample_weights + self.resample_padding
+            )
             key, rng = jaxutil.random_split(rng)
             sdist = stepfun.sample_intervals(
-                key,
-                sdist,
-                logits_resample,
-                num_samples,
+                key, sdist, logits_resample, num_samples,
                 single_jitter=self.single_jitter,
                 domain=(init_s_near, init_s_far),
             )

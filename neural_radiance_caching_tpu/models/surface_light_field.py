@@ -29,29 +29,42 @@ from neural_radiance_caching_tpu.utils import jaxutil
 class BaseSurfaceLightFieldMLP(shading.BaseShader):
     config: Any = None
 
+    # Conditioning inputs: which encodings of (origin, direction, lights,
+    # 3D points) feed the view branch.
     use_bottleneck: bool = True
     use_shader_bottleneck: bool = False
-
     use_directional_enc: bool = False
     use_ide: bool = False
+    use_origins: bool = False
+    deg_origins: int = 4
+    use_lights: bool = True
+    deg_lights: int = 2
+    use_points: bool = False
+    use_points_ide: bool = False
+    deg_points: int = 4
+    use_sphere_points: bool = False
+    deg_sphere_points: int = 4
+    sphere_radius: float = 5.0
+    use_far_field_points: bool = False
+    use_env_alpha: bool = False
 
+    # View-conditioned decoder trunk.
     net_depth_viewdirs: int = 1
     net_width_viewdirs: int = 128
     bottleneck_viewdirs: int = 128
     skip_layer_dir: int = 4
     deg_view: int = 4
 
-    use_far_field_points: bool = False
-    use_env_alpha: bool = False
-
+    # Distance head (where along the query ray the radiance originates).
     use_distance_prediction: bool = False
-    use_distance_ide: bool = False
-    use_sorted_distances: bool = False
     net_depth_distance: int = 1
     net_width_distance: int = 128
     skip_layer_distance: int = 4
     deg_view_distance: int = 2
+    use_distance_ide: bool = False
+    use_sorted_distances: bool = False
 
+    # Optional per-point density head + alpha decode.
     use_density_prediction: bool = False
     net_depth_density: int = 2
     net_width_density: int = 64
@@ -59,38 +72,24 @@ class BaseSurfaceLightFieldMLP(shading.BaseShader):
     density_activation: Callable[..., Any] = math.safe_exp
     density_bias: float = -1.0
     density_noise: float = 0.0
-
     alpha_bias: float = 2.0
     alpha_activation: Callable[..., Any] = nn.sigmoid
 
-    use_origins: bool = False
-    deg_origins: int = 4
-
-    use_lights: bool = True
-    deg_lights: int = 2
-
-    use_points: bool = False
-    use_points_ide: bool = False
-    deg_points: int = 4
-
-    use_sphere_points: bool = False
-    deg_sphere_points: int = 4
-    sphere_radius: float = 5.0
-
+    # Distance-sample placement along the query ray.
     num_distance_samples: int = 1
     num_far_samples: int = 0
-    distance_scale: float = 1.0
-    distance_bias: float = -2.0
     distance_near: float = 1e-3
     distance_far: float = 1e6
     distance_far_field: float = float("inf")
+    distance_scale: float = 1.0
+    distance_bias: float = -2.0
     use_uniform_distance: bool = False
     use_uniform_loss: bool = False
     use_indirect: bool = False
+    use_uniform_grid: bool = True
     use_voxel_grid: bool = False
     voxel_start: float = 0.0
     voxel_end: float = 10.0
-    use_uniform_grid: bool = True
 
     raydist_fn: Union[Tuple[Callable, ...], Callable, None] = None
 
