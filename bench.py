@@ -186,7 +186,7 @@ def build_reference_layout_cache_model(config):
     return NeRFModel(config=config, **reference_layout_cache_params(config))
 
 
-def build_flagship_material_model(config):
+def build_flagship_material_model(config, shader_extras=None):
     """Flagship material stage (`material_light_from_scratch_resample`).
 
     Reference scale (ngp_yobo.gin:315-403): 32 secondary + 4 diffuse
@@ -194,7 +194,8 @@ def build_flagship_material_model(config):
     sampling hierarchy (cache_train_sampling_strategy = the cache's own
     64/64/32), MaterialModel.num_resample=1 with resampling ON (the
     benchmark stage suffix `_resample`), SLF control variate, 128-component
-    vMF light sampler.
+    vMF light sampler. `shader_extras` merges extra MaterialMLP kwargs
+    (e.g. use_active for actively-lit scenes).
     """
     cache_params = flagship_cache_params(config)
     cache_params["resample_secondary"] = True
@@ -215,19 +216,23 @@ def build_flagship_material_model(config):
             "use_density_feature": False, "use_grid": True,
             "grid_params": grid, "warp_fn": coord.contract_radius_2,
         },
-        shader_params={
-            # ngp_yobo.gin:315-322 (net_depth=0 trunk, brdf heads 2x64).
-            "net_depth": 0, "net_width": 64, "bottleneck_width": 128,
-            "use_density_feature": False, "use_grid": True,
-            "grid_params": grid, "warp_fn": coord.contract_radius_2,
-            "num_secondary_samples": 32, "render_num_secondary_samples": 32,
-            "num_secondary_samples_diff": 4,
-            "render_num_secondary_samples_diff": 4,
-            "cache_train_sampling_strategy": strategy,
-            "cache_render_sampling_strategy": strategy,
-            "net_depth_brdf": 2, "net_width_brdf": 64,
-            "use_brdf_correction": False,
-        },
+        shader_params=dict(
+            {
+                # ngp_yobo.gin:315-322 (net_depth=0 trunk, brdf heads 2x64).
+                "net_depth": 0, "net_width": 64, "bottleneck_width": 128,
+                "use_density_feature": False, "use_grid": True,
+                "grid_params": grid, "warp_fn": coord.contract_radius_2,
+                "num_secondary_samples": 32,
+                "render_num_secondary_samples": 32,
+                "num_secondary_samples_diff": 4,
+                "render_num_secondary_samples_diff": 4,
+                "cache_train_sampling_strategy": strategy,
+                "cache_render_sampling_strategy": strategy,
+                "net_depth_brdf": 2, "net_width_brdf": 64,
+                "use_brdf_correction": False,
+            },
+            **(shader_extras or {}),
+        ),
         resample=True,
         resample_render=True,
         num_resample=1,

@@ -38,6 +38,22 @@ LAYOUT = "reference" if "--layout" in sys.argv else "flagship"
 # predicted-normal losses actually supervise normals_pred — without them
 # those losses short-circuit to 0 and normals are only shaped indirectly.
 ANALYTIC_NORMALS = "--analytic-normals" in sys.argv
+# --active: point-light (active) shading in both stages — the procedural
+# scene IS actively lit (albedo * (ambient + lambert)), so the active
+# pipeline is the one under which albedo actually disentangles.
+ACTIVE = "--active" in sys.argv
+
+if ACTIVE:
+    _orig_active_params = bench.flagship_cache_params
+
+    def _cache_params_active(config):
+        p = _orig_active_params(config)
+        p["shader_params"] = dict(
+            p["shader_params"], use_active=True, use_ambient=True
+        )
+        return p
+
+    bench.flagship_cache_params = _cache_params_active
 
 if ANALYTIC_NORMALS:
     _orig_cache_params = bench.flagship_cache_params
@@ -201,7 +217,9 @@ def main():
     mat_ds = datasets.SyntheticSpheres("train", None, mat_config, num_images=16,
                                        resolution=RES)
     print(f"[material] training {MAT_STEPS} steps @ batch {MAT_BATCH}", flush=True)
-    mat_model = bench.build_flagship_material_model(mat_config)
+    mat_model = bench.build_flagship_material_model(
+        mat_config, shader_extras={"use_active": True} if ACTIVE else None
+    )
     mat_state = train_model(
         mat_model, mat_config, mat_ds, MAT_STEPS,
         jax.random.fold_in(rng, 1), graft={"params": cache_params["params"]},
