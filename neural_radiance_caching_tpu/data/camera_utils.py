@@ -111,32 +111,34 @@ def recenter_poses(poses):
 
 def transform_poses_pca(poses):
     """Align the world frame to the principal axes of the camera positions
-    (camera_utils.transform_poses_pca parity; standard mip-360 math)."""
-    t = poses[:, :3, 3]
-    t_mean = t.mean(axis=0)
-    t = t - t_mean
+    (camera_utils.transform_poses_pca parity; standard mip-360 behavior:
+    principal-axis rotation, handedness fix, upright flip, unit-box scale)."""
+    positions = poses[:, :3, 3]
+    center = positions.mean(axis=0)
 
-    eigval, eigvec = np.linalg.eig(t.T @ t)
-    inds = np.argsort(eigval)[::-1]
-    eigvec = eigvec[:, inds]
-    rot = eigvec.T
-    if np.linalg.det(rot) < 0:
-        rot = np.diag(np.array([1, 1, -1])) @ rot
+    # Principal axes via SVD of the centered positions (right singular
+    # vectors, descending variance) become the new world axes.
+    _, _, axes = np.linalg.svd(positions - center, full_matrices=False)
+    if np.linalg.det(axes) < 0:  # keep the frame right-handed
+        axes[-1] *= -1.0
 
-    transform = np.concatenate([rot, rot @ -t_mean[:, None]], -1)
-    poses_recentered = unpad_poses(transform @ pad_poses(poses))
-    transform = np.concatenate([transform, np.eye(4)[3:]], axis=0)
+    world_from_old = np.eye(4)
+    world_from_old[:3, :3] = axes
+    world_from_old[:3, 3] = axes @ -center
+    aligned = unpad_poses(world_from_old @ pad_poses(poses))
 
-    # Flip coordinate system if z component of y-axis is negative.
-    if poses_recentered.mean(axis=0)[2, 1] < 0:
-        poses_recentered = np.diag(np.array([1, -1, -1])) @ poses_recentered
-        transform = np.diag(np.array([1, -1, -1, 1])) @ transform
+    # Put the average camera "up" into +z (flip the y/z world axes otherwise).
+    if aligned[:, 2, 1].mean() < 0:
+        aligned = np.diag(np.array([1.0, -1.0, -1.0])) @ aligned
+        world_from_old = (
+            np.diag(np.array([1.0, -1.0, -1.0, 1.0])) @ world_from_old
+        )
 
-    # Scale to fit positions in [-1, 1]^3.
-    scale_factor = 1.0 / np.max(np.abs(poses_recentered[:, :3, 3]))
-    poses_recentered[:, :3, 3] *= scale_factor
-    transform = np.diag(np.array([scale_factor] * 3 + [1])) @ transform
-    return poses_recentered, transform
+    # Scale so every camera position lands inside [-1, 1]^3.
+    extent = np.max(np.abs(aligned[:, :3, 3]))
+    world_from_old = np.diag(np.array([1 / extent] * 3 + [1.0])) @ world_from_old
+    aligned[:, :3, 3] /= extent
+    return aligned, world_from_old
 
 
 def focus_point_fn(poses):
@@ -310,14 +312,14 @@ def pixels_to_rays(
             dx = jax.random.normal(k1, shape=pix_x_int.shape) * 0.5
             dy = jax.random.normal(k2, shape=pix_y_int.shape) * 0.5
     else:
-        dx = 0.0
-        dy = 0.0
+        dx, dy = 0.0, 0.0
 
+    # Probe each pixel plus its +x and +y neighbours in one stacked batch;
+    # the neighbour directions feed the mip radii below.
     pixel_dirs_stacked = xnp.stack(
         [
-            pix_to_dir(pix_x_int + dx, pix_y_int + dy),
-            pix_to_dir(pix_x_int + 1 + dx, pix_y_int + dy),
-            pix_to_dir(pix_x_int + dx, pix_y_int + 1 + dy),
+            pix_to_dir(pix_x_int + ox + dx, pix_y_int + oy + dy)
+            for ox, oy in ((0, 0), (1, 0), (0, 1))
         ],
         axis=0,
     )
@@ -631,20 +633,20 @@ def generate_spiral_path(poses, bounds, n_frames=120, n_rots=2, zrate=0.5):
     # Focus depth: disparity-space blend of the near/far bounds.
     focal = 1 / ((1 - FOCUS_DISTANCE) / near_bound + FOCUS_DISTANCE / far_bound)
 
-    positions = poses[:, :3, 3]
-    radii = np.percentile(np.abs(positions), 90, 0)
-    radii = np.concatenate([radii, [1.0]])
+    # Spiral radius per axis: 90th percentile of |camera position|, with a
+    # homogeneous 1 appended so the offsets transform as points.
+    radii = np.append(np.percentile(np.abs(poses[:, :3, 3]), 90, axis=0), 1.0)
 
-    render_poses = []
-    cam2world = average_pose(poses)
-    up = poses[:, :3, 1].mean(0)
-    for theta in np.linspace(0.0, 2.0 * np.pi * n_rots, n_frames, endpoint=False):
-        t = radii * [np.cos(theta), -np.sin(theta), -np.sin(theta * zrate), 1.0]
-        position = cam2world @ t
-        lookat = cam2world @ [0, 0, -focal, 1.0]
-        z_axis = position - lookat
-        render_poses.append(viewmatrix(z_axis, up, position))
-    return np.stack(render_poses, axis=0)
+    center_pose = average_pose(poses)
+    mean_up = poses[:, :3, 1].mean(0)
+    target = center_pose @ np.array([0.0, 0.0, -focal, 1.0])
+    angles = np.linspace(0.0, 2.0 * np.pi * n_rots, n_frames, endpoint=False)
+    offsets = radii * np.stack(
+        [np.cos(angles), -np.sin(angles), -np.sin(angles * zrate),
+         np.ones_like(angles)], axis=-1)
+    eyes = offsets @ center_pose.T
+    return np.stack(
+        [viewmatrix(eye - target, mean_up, eye) for eye in eyes], axis=0)
 
 
 def generate_interpolated_path(

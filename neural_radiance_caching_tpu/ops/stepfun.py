@@ -83,12 +83,15 @@ def sample(
             u = jnp.linspace(0, 1.0 - eps, num_samples)
         u = jnp.broadcast_to(u, t.shape[:-1] + (num_samples,))
     else:
-        u_max = eps + (1 - eps) / num_samples
-        max_jitter = (1 - u_max) / (num_samples - 1) - eps
-        d = 1 if single_jitter else num_samples
-        u = jnp.linspace(0, 1 - u_max, num_samples) + jax.random.uniform(
-            rng, t.shape[:-1] + (d,), maxval=max_jitter
-        )
+        # Stratified draw over [0, 1): evenly spaced anchors, each jittered
+        # uniformly within a stratum sized so neighbours can never cross
+        # (strata stop eps short of touching). The last anchor sits at
+        # 1 - eps - (1-eps)/N so its stratum also stays below 1.
+        span = 1.0 - (eps + (1.0 - eps) / num_samples)
+        stride = span / (num_samples - 1)
+        anchors = stride * jnp.arange(num_samples)
+        jitter_shape = t.shape[:-1] + ((1,) if single_jitter else (num_samples,))
+        u = anchors + jax.random.uniform(rng, jitter_shape, maxval=stride - eps)
     return invert_cdf(u, t, w_logits)
 
 
@@ -160,20 +163,23 @@ def lossfun_distortion(t, w, normalize=False):
 
 
 def interval_distortion(t0_lo, t0_hi, t1_lo, t1_hi):
-    """mean(|x−y|) for x ∈ [t0_lo, t0_hi], y ∈ [t1_lo, t1_hi]."""
-    d_disjoint = jnp.abs((t1_lo + t1_hi) / 2 - (t0_lo + t0_hi) / 2)
-    d_overlap = (
-        2 * (jnp.minimum(t0_hi, t1_hi) ** 3 - jnp.maximum(t0_lo, t1_lo) ** 3)
-        + 3
-        * (
-            t1_hi * t0_hi * jnp.abs(t1_hi - t0_hi)
-            + t1_lo * t0_lo * jnp.abs(t1_lo - t0_lo)
-            + t1_hi * t0_lo * (t0_lo - t1_hi)
-            + t1_lo * t0_hi * (t1_lo - t0_hi)
-        )
-    ) / (6 * (t0_hi - t0_lo) * (t1_hi - t1_lo))
+    """mean(|x−y|) for x ∈ [t0_lo, t0_hi], y ∈ [t1_lo, t1_hi].
+
+    Disjoint intervals reduce to the midpoint distance; overlapping ones use
+    the closed form of the double integral (an overlap cube term plus the
+    four endpoint cross products), normalized by the joint area.
+    """
+    mid_gap = jnp.abs(0.5 * (t1_lo + t1_hi) - 0.5 * (t0_lo + t0_hi))
+    cube = jnp.minimum(t0_hi, t1_hi) ** 3 - jnp.maximum(t0_lo, t1_lo) ** 3
+    cross = (
+        t1_hi * t0_hi * jnp.abs(t1_hi - t0_hi)
+        + t1_lo * t0_lo * jnp.abs(t1_lo - t0_lo)
+        - t1_hi * t0_lo * (t1_hi - t0_lo)
+        - t1_lo * t0_hi * (t0_hi - t1_lo)
+    )
+    area = (t0_hi - t0_lo) * (t1_hi - t1_lo)
     disjoint = (t0_lo > t1_hi) | (t1_lo > t0_hi)
-    return jnp.where(disjoint, d_disjoint, d_overlap)
+    return jnp.where(disjoint, mid_gap, (2.0 * cube + 3.0 * cross) / (6.0 * area))
 
 
 def weighted_percentile(t, w, ps):

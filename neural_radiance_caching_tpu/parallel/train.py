@@ -263,6 +263,7 @@ def create_train_step(
     config,
     mesh=None,
     dataset=None,
+    compiler_options=None,
 ):
     """Build the sharded, jitted train step.
 
@@ -498,6 +499,7 @@ def create_train_step(
         in_shardings=(repl, repl, batch_sharding, None),
         out_shardings=(repl, repl),
         donate_argnums=(1,),
+        compiler_options=compiler_options,
     )
 
 
