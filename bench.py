@@ -47,6 +47,13 @@ WARMUP_STEPS = 3
 BENCH_STEPS = 20
 MATERIAL_BENCH_STEPS = 10
 
+# Measured reference-relative anchors, recorded where BASELINE.md documents
+# the runs that produced them. Update alongside any re-measurement.
+MEASURED_ANCHORS = {
+    "cpu_anchor_speedup_cache_stage": 15.8,      # r2: 148.5 vs 9.4 rays/s, same arch/host
+    "layout_ab_speedup_range": [6.9, 12.6],      # r2: flagship vs reference layout, on-chip
+}
+
 # bf16 peak FLOP/s per chip by device kind (public spec sheets).
 PEAK_FLOPS = {
     "v4": 275e12,
@@ -392,6 +399,17 @@ def _main_default():
                 mat_detail,
                 train_rays_per_sec=round(mat_rays_per_sec, 1),
             ),
+            # Measured reference-relative anchors (BASELINE.md has the full
+            # methodology; the reference itself cannot run on TPU —
+            # internal/geometry.py:255-257 raises — so these are the honest
+            # comparisons, unlike the nominal vs_baseline arithmetic above):
+            #  * cpu_anchor: both frameworks' cache train step, same host
+            #    CPU, same scene/batch/architecture/param count
+            #    (benchmarks/reference_cpu_bench.py).
+            #  * layout_ab: the reference's own grids-on-all-levels layout
+            #    vs the TPU-first flagship on the same chip/scene/losses
+            #    (bench.py --ab-layout).
+            "anchors": MEASURED_ANCHORS,
         },
     }
     print(json.dumps(result))

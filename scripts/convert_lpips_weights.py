@@ -32,24 +32,75 @@ import numpy as np
 TORCH_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
 
 
+# torch-lpips `LPIPS(net='vgg').state_dict()` key schema: the vgg16 wrapper
+# keeps torchvision's original feature indices as module names inside five
+# slices (slice1 = features[0:4], slice2 = [4:9], slice3 = [9:16],
+# slice4 = [16:23], slice5 = [23:30]), and the heads live at
+# lin{j}.model.1.weight with shape [1, C, 1, 1].
+TORCH_SLICE_RANGES = ((0, 4), (4, 9), (9, 16), (16, 23), (23, 30))
+
+
+def _slice_of(idx):
+    for s, (lo, hi) in enumerate(TORCH_SLICE_RANGES, start=1):
+        if lo <= idx < hi:
+            return s
+    raise ValueError(f"feature index {idx} outside VGG16 conv range")
+
+
+def convert_torch_arrays(conv_oihw, lin_heads):
+    """Pure conversion: torch-layout arrays -> the .npz array dict.
+
+    conv_oihw: {feature_idx: (weight OIHW, bias)} for the 13 VGG16 convs.
+    lin_heads: {j: weight [1, C, 1, 1]} for the 5 LPIPS linear heads.
+    """
+    arrays = {}
+    for i, idx in enumerate(TORCH_CONV_IDX):
+        w, b = conv_oihw[idx]
+        arrays[f"conv{i}_w"] = np.asarray(w, np.float32).transpose(2, 3, 1, 0)
+        arrays[f"conv{i}_b"] = np.asarray(b, np.float32).reshape(-1)
+    for j in range(5):
+        w = np.asarray(lin_heads[j], np.float32)
+        # LPIPS heads are 1x1 convs with non-negative weights by construction.
+        arrays[f"lin{j}"] = np.maximum(w.reshape(-1), 0.0)
+    return arrays
+
+
+def from_torch_checkpoint(ckpt_path, out_path):
+    """Convert a torch.save()d `lpips.LPIPS(net='vgg').state_dict()` file."""
+    import torch
+
+    state = torch.load(ckpt_path, map_location="cpu")
+    if hasattr(state, "state_dict"):
+        state = state.state_dict()
+    conv_oihw = {}
+    for idx in TORCH_CONV_IDX:
+        prefix = f"net.slice{_slice_of(idx)}.{idx}"
+        conv_oihw[idx] = (
+            state[f"{prefix}.weight"].numpy(),
+            state[f"{prefix}.bias"].numpy(),
+        )
+    lin_heads = {
+        j: state[f"lin{j}.model.1.weight"].numpy() for j in range(5)
+    }
+    np.savez(out_path, **convert_torch_arrays(conv_oihw, lin_heads))
+    print(f"wrote {out_path}")
+
+
 def from_torch(out_path):
     import lpips as lpips_pkg  # noqa: F401  (pulls the linear-head weights)
-    import torch
+    import torch  # noqa: F401
     import torchvision
 
     vgg = torchvision.models.vgg16(weights="IMAGENET1K_V1").features
-    arrays = {}
-    for i, idx in enumerate(TORCH_CONV_IDX):
-        conv = vgg[idx]
-        # torch OIHW -> HWIO
-        arrays[f"conv{i}_w"] = conv.weight.detach().numpy().transpose(2, 3, 1, 0)
-        arrays[f"conv{i}_b"] = conv.bias.detach().numpy()
+    conv_oihw = {
+        idx: (vgg[idx].weight.detach().numpy(), vgg[idx].bias.detach().numpy())
+        for idx in TORCH_CONV_IDX
+    }
     net = lpips_pkg.LPIPS(net="vgg")
-    for j, lin in enumerate(net.lins):
-        w = lin.model[-1].weight.detach().numpy()  # [1, c, 1, 1]
-        arrays[f"lin{j}"] = np.maximum(w.reshape(-1), 0.0)
-    np.savez(out_path, **arrays)
-    del torch
+    lin_heads = {
+        j: lin.model[-1].weight.detach().numpy() for j, lin in enumerate(net.lins)
+    }
+    np.savez(out_path, **convert_torch_arrays(conv_oihw, lin_heads))
     print(f"wrote {out_path}")
 
 
@@ -79,15 +130,19 @@ def from_elpips(elpips_dir, out_path):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--torch", action="store_true", dest="use_torch")
+    p.add_argument("--torch_checkpoint", default=None,
+                   help="path to a torch.save()d lpips.LPIPS(net='vgg') state_dict")
     p.add_argument("--elpips_dir", default=None)
     p.add_argument("--out", required=True)
     args = p.parse_args()
     if args.use_torch:
         from_torch(args.out)
+    elif args.torch_checkpoint:
+        from_torch_checkpoint(args.torch_checkpoint, args.out)
     elif args.elpips_dir:
         from_elpips(args.elpips_dir, args.out)
     else:
-        p.error("pass --torch or --elpips_dir")
+        p.error("pass --torch, --torch_checkpoint, or --elpips_dir")
 
 
 if __name__ == "__main__":

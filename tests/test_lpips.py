@@ -81,6 +81,68 @@ def test_metric_harness_with_lpips(params, imgs):
     assert set(bare(b, a)) == {"psnr", "ssim"}
 
 
+def test_torch_checkpoint_conversion(tmp_path, imgs):
+    """End-to-end converter proof against the real torch-lpips key schema.
+
+    Builds a checkpoint with exactly the key names and tensor shapes of
+    `lpips.LPIPS(net='vgg').state_dict()` (random values — no egress here),
+    runs scripts/convert_lpips_weights.py's parse path, loads the result
+    through ops.lpips.load_params, and computes a distance. Guarantees the
+    one manual step (dropping in a real checkpoint) works.
+    """
+    torch = pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    try:
+        import convert_lpips_weights as conv
+    finally:
+        sys.path.pop(0)
+
+    rng = np.random.RandomState(3)
+    state = {}
+    for i, idx in enumerate(conv.TORCH_CONV_IDX):
+        cin, cout = lpips_lib.VGG_CONVS[i]
+        prefix = f"net.slice{conv._slice_of(idx)}.{idx}"
+        state[f"{prefix}.weight"] = torch.tensor(
+            rng.normal(0, 0.05, (cout, cin, 3, 3)).astype(np.float32)
+        )
+        state[f"{prefix}.bias"] = torch.tensor(
+            rng.normal(0, 0.01, (cout,)).astype(np.float32)
+        )
+    for j, c in enumerate(lpips_lib.SLICE_CHANNELS):
+        # Real head weights include tiny negatives (clamped at use in torch).
+        state[f"lin{j}.model.1.weight"] = torch.tensor(
+            rng.normal(0.02, 0.02, (1, c, 1, 1)).astype(np.float32)
+        )
+    # The real package also carries scaling-layer buffers; the converter
+    # must tolerate (ignore) them.
+    state["scaling_layer.shift"] = torch.zeros(1, 3, 1, 1)
+    state["scaling_layer.scale"] = torch.ones(1, 3, 1, 1)
+
+    ckpt = tmp_path / "lpips_vgg.pth"
+    torch.save(state, ckpt)
+    out = tmp_path / "lpips_vgg16.npz"
+    conv.from_torch_checkpoint(str(ckpt), str(out))
+
+    loaded = lpips_lib.load_params(str(out))
+    assert loaded["calibrated"]
+    # OIHW -> HWIO transposition check on the first conv.
+    w_torch = state["net.slice1.0.weight"].numpy()
+    np.testing.assert_allclose(
+        np.asarray(loaded["convs"][0][0]), w_torch.transpose(2, 3, 1, 0)
+    )
+    # Heads flattened + clamped non-negative.
+    for j in range(5):
+        lin = np.asarray(loaded["lins"][j])
+        assert lin.min() >= 0.0 and lin.max() > 0.0
+
+    a, b = imgs
+    d = float(lpips_lib.lpips(loaded, a, b))
+    assert np.isfinite(d) and d > 0.0
+    assert float(lpips_lib.lpips(loaded, a, a)) == pytest.approx(0.0, abs=1e-6)
+
+
 def test_elpips_deterministic_and_finite(params, imgs):
     a, b = imgs
     e1 = lpips_lib.elpips(params, a, b, num_samples=3, seed=7)
