@@ -108,6 +108,13 @@ def main():
         "elpips": float(np.mean(elpipss)) if elpipss else None,
         "count": len(psnrs),
     }
+    if elpipss:
+        # Implementation deviations from the reference E-LPIPS (ops/lpips.py):
+        # crop-mode transforms only, feature dropout omitted. Numbers are
+        # self-consistent but not directly comparable to reference E-LPIPS.
+        result["elpips_caveat"] = "crop-mode, no-dropout ensemble (see ops/lpips.py)"
+        print("note: E-LPIPS here is the crop-mode, no-dropout ensemble; "
+              "do not cross-compare naively with reference E-LPIPS values")
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:
