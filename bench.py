@@ -38,11 +38,9 @@ from neural_radiance_caching_tpu.utils import pytrees
 
 BATCH_SIZE = 8192
 # Reference README quick-start trains the material stage at batch 1024; the
-# secondary fan-out (36 secondary rays x full cache hierarchy per surface
-# point) makes activations ~36x a cache ray's, so remat is on for this stage
-# and the batch sits just under the single-chip HBM ceiling (1024 compiles
-# to 16.2G vs 15.75G available).
-MATERIAL_BATCH_SIZE = 768
+# secondary fan-out (32 secondary rays x full cache hierarchy per surface
+# point) makes activations ~32x a cache ray's, so remat is on for this stage.
+MATERIAL_BATCH_SIZE = 1536
 WARMUP_STEPS = 3
 BENCH_STEPS = 20
 MATERIAL_BENCH_STEPS = 10
@@ -196,13 +194,22 @@ def build_reference_layout_cache_model(config):
 def build_flagship_material_model(config, shader_extras=None):
     """Flagship material stage (`material_light_from_scratch_resample`).
 
-    Reference scale (ngp_yobo.gin:315-403): 32 secondary + 4 diffuse
-    secondary samples per surface point traced through the full cache
-    sampling hierarchy (cache_train_sampling_strategy = the cache's own
-    64/64/32), MaterialModel.num_resample=1 with resampling ON (the
-    benchmark stage suffix `_resample`), SLF control variate, 128-component
-    vMF light sampler. `shader_extras` merges extra MaterialMLP kwargs
-    (e.g. use_active for actively-lit scenes).
+    Reference scale: the `material_light_from_scratch` stage table
+    (configs/trainer.gin:313-351) overrides num_secondary_samples to 4 and
+    the README quick-start multiplies by --sample_factor 8
+    (engine/trainer.py:300) -> 32 secondary samples per surface point,
+    split 16 specular + 16 diffuse (diffuse_sample_fraction=0.5), each
+    traced through the full cache sampling hierarchy
+    (cache_train_sampling_strategy = the cache's own 64/64/32).
+    MaterialModel.num_resample=1 with resampling ON (stage suffix
+    `_resample`), 128-component vMF light sampler. The stage also forces
+    use_surface_light_field=False, which forces slf_variate=False
+    (engine/trainer.py:291-293) — the SLF control variate belongs to the
+    surface-light-field stages, not this benchmark workload (round-2's
+    bench modeled it as ON, which degenerated into a redundant second
+    full-size cache integration per forward: ~2x the reference's work).
+    `shader_extras` merges extra MaterialMLP kwargs (e.g. use_active for
+    actively-lit scenes).
     """
     cache_params = flagship_cache_params(config)
     cache_params["resample_secondary"] = True
@@ -243,7 +250,51 @@ def build_flagship_material_model(config, shader_extras=None):
         resample=True,
         resample_render=True,
         num_resample=1,
-        slf_variate=True,
+        slf_variate=False,
+    )
+
+
+def build_reference_layout_material_model(config):
+    """Material stage over the reference's own grids-on-all-levels cache
+    layout (same architecture/params as the reference's MaterialModel under
+    configs/ngp_yobo.gin + the material_light_from_scratch stage table) —
+    used by benchmarks/reference_cpu_bench.py for the same-architecture
+    material anchor."""
+    cache_params = reference_layout_cache_params(config)
+    cache_params["resample_secondary"] = True
+    strategy = cache_params["train_sampling_strategy"]
+    grid = {
+        "hash_map_size": 524288, "max_grid_size": 2048, "num_features": 4,
+        "scale_supersample": 1.0, "interpolation": "trilinear",
+        "bbox_scaling": 2.0,
+    }
+    return MaterialModel(
+        config=config,
+        cache_model_params=cache_params,
+        use_light_sampler=True,
+        light_sampler_params={
+            "net_depth": 2, "net_width": 64, "bottleneck_width": 128,
+            "num_components": 128, "vmf_scale": 20.0,
+            "use_density_feature": False, "use_grid": True,
+            "grid_params": grid, "warp_fn": coord.contract_radius_2,
+        },
+        shader_params={
+            "net_depth": 0, "net_width": 64, "bottleneck_width": 128,
+            "use_density_feature": False, "use_grid": True,
+            "grid_params": grid, "warp_fn": coord.contract_radius_2,
+            "num_secondary_samples": 32,
+            "render_num_secondary_samples": 32,
+            "num_secondary_samples_diff": 4,
+            "render_num_secondary_samples_diff": 4,
+            "cache_train_sampling_strategy": strategy,
+            "cache_render_sampling_strategy": strategy,
+            "net_depth_brdf": 2, "net_width_brdf": 64,
+            "use_brdf_correction": False,
+        },
+        resample=True,
+        resample_render=True,
+        num_resample=1,
+        slf_variate=False,
     )
 
 
@@ -384,7 +435,7 @@ def _main_default():
         build_flagship_material_model(mat_config), mat_config, mat_dataset,
         MATERIAL_BENCH_STEPS, MATERIAL_BATCH_SIZE,
     )
-    mat_detail["secondary_samples_per_ray"] = 36
+    mat_detail["secondary_samples_per_ray"] = 32
     mat_rays_per_sec = MATERIAL_BATCH_SIZE / mat_dt
 
     result = {

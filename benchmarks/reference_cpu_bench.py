@@ -3,12 +3,15 @@
 The reference (JAX/pmap, NGP grids everywhere, gather-heavy) cannot run on
 TPU at all — it raises (internal/geometry.py:255-257) — so no on-chip
 comparison is possible. This harness produces the next-best anchor the
-round-1 verdict asked for: both frameworks run their CACHE-stage train step
-on the SAME host CPU, same procedural scene, same batch size, with the
-reference driven by its OWN published flagship config (configs/ngp_yobo.gin)
-through the gin shim in benchmarks/ref_shims.
+round-1 verdict asked for: both frameworks run the SAME train step — the
+cache stage by default, or the material_light_from_scratch_resample stage
+with --stage material — on the SAME host CPU, same procedural scene, same
+batch size, with the reference driven by its OWN published flagship config
+(configs/ngp_yobo.gin + the trainer.gin stage table) through the gin shim
+in benchmarks/ref_shims.
 
 Usage:  python benchmarks/reference_cpu_bench.py [--batch 1024] [--steps 5]
+        python benchmarks/reference_cpu_bench.py --stage material --batch 32 --steps 2
 Prints one JSON line:
   {"ref_rays_per_sec": ..., "ours_rays_per_sec": ..., "speedup_cpu": ...}
 
@@ -44,9 +47,14 @@ if not hasattr(np, "math"):
 REF_CONFIG = "/root/reference/configs/nerf_ngp_yobo.gin"
 
 
-def build_reference(batch_size):
-    """Construct the reference MaterialModel (cache passes only) + pmapped
-    train step from its own flagship gin config."""
+def build_reference(batch_size, stage="cache"):
+    """Construct the reference MaterialModel + pmapped train step from its
+    own flagship gin config. stage='cache' binds the trainer's 'cache' stage
+    table (material/light heads off); stage='material' binds the
+    `material_light_from_scratch_resample` stage the README quick start
+    trains (trainer.gin:313-351 + engine/trainer.py:272-303 with the
+    quick start's --sample_factor 8: num_secondary_samples 4*8=32,
+    use_surface_light_field=False -> slf_variate=False, resample on)."""
     import gin
     from internal import configs as ref_configs
     from internal import grid_utils as ref_grid_utils
@@ -66,18 +74,39 @@ def build_reference(batch_size):
 
     ref_grid_utils.HashEncoding.grid_sizes = property(_grid_sizes_int)
 
+    if stage == "cache":
+        stage_bindings = [
+            "Config.use_gradient_debias = False",
+            # Cache stage: the Trainer binds these off for the 'cache' stage
+            # (engine/trainer.py stage_params['cache']).
+            "MaterialModel.use_material = False",
+            "MaterialModel.use_light_sampler = False",
+        ]
+    else:
+        # material_light_from_scratch_resample as the reference Trainer
+        # would bind it (trainer.gin stage table x sample_factor=8 from the
+        # README quick start; resample suffix -> resample bindings).
+        stage_bindings = [
+            "Config.use_gradient_debias = True",
+            "MaterialModel.use_material = True",
+            "MaterialModel.use_light_sampler = True",
+            "MaterialModel.use_surface_light_field = False",
+            "MaterialModel.slf_variate = False",
+            "MaterialModel.resample = True",
+            "MaterialModel.resample_render = True",
+            "MaterialModel.num_resample = 1",
+            "MaterialMLP.num_secondary_samples = 32",
+            "MaterialMLP.render_num_secondary_samples = 32",
+            "MaterialMLP.num_secondary_samples_diff = 32",
+            "MaterialMLP.render_num_secondary_samples_diff = 32",
+        ]
     gin.clear_config()
     gin.parse_config_files_and_bindings(config_files=[REF_CONFIG], bindings=[
         f"Config.batch_size = {batch_size}",
         "Config.cast_rays_in_train_step = False",
-        "Config.use_gradient_debias = False",
-        # Cache stage: the Trainer binds these off for the 'cache' stage
-        # (engine/trainer.py stage_params['cache']).
-        "MaterialModel.use_material = False",
-        "MaterialModel.use_light_sampler = False",
         "Config.near = 2.0",
         "Config.far = 6.0",
-    ])
+    ] + stage_bindings)
 
     # The reference's own tree binds a handful of params that do not exist
     # on its classes (its real gin skips them via flags); drop any binding
@@ -164,10 +193,12 @@ def spheres_batch_for_reference(batch_size, ref_utils):
     return ref_utils.Batch(rays=rays, rgb=b.rgb, masks=b.masks)
 
 
-def run_reference(batch_size, steps):
+def run_reference(batch_size, steps, stage="cache"):
     from flax import jax_utils
 
-    model, state, train_pstep, config, ref_utils = build_reference(batch_size)
+    model, state, train_pstep, config, ref_utils = build_reference(
+        batch_size, stage=stage
+    )
     batch = spheres_batch_for_reference(batch_size, ref_utils)
     sharded = jax.tree_util.tree_map(
         lambda x: ref_utils.shard(x) if x is not None else None, batch,
@@ -197,7 +228,7 @@ def run_reference(batch_size, steps):
     }
 
 
-def run_ours(batch_size, steps, layout="flagship"):
+def run_ours(batch_size, steps, layout="flagship", stage="cache"):
     import bench
     from neural_radiance_caching_tpu.data import datasets as our_datasets
     from neural_radiance_caching_tpu.engine.configs import Config as OurConfig
@@ -216,9 +247,25 @@ def run_ours(batch_size, steps, layout="flagship"):
         predicted_normal_reverse_loss_mult=0.05,
         mask_lossmult=False, linear_to_srgb=True,
     )
+    if stage == "material":
+        import dataclasses
+
+        config = dataclasses.replace(
+            config, secondary_far=4.0, material_loss_radius=4.0,
+            data_loss_type="rawnerf_unbiased", use_gradient_debias=True,
+            gradient_checkpointing=True, distortion_loss_mult=0.0,
+            predicted_normal_loss_mult=0.0,
+            predicted_normal_reverse_loss_mult=0.0,
+        )
     ds = our_datasets.SyntheticSpheres("train", None, config, num_images=4,
                                        resolution=64)
-    if layout == "reference":
+    if stage == "material":
+        model = (
+            bench.build_reference_layout_material_model(config)
+            if layout == "reference"
+            else bench.build_flagship_material_model(config)
+        )
+    elif layout == "reference":
         model = bench.build_reference_layout_cache_model(config)
     else:
         model = bench.build_flagship_cache_model(config)
@@ -259,16 +306,21 @@ def main():
                     default="flagship",
                     help="Which of OUR layouts to run: the TPU-first "
                          "flagship or the reference's grids-on-all-levels.")
+    ap.add_argument("--stage", choices=["cache", "material"], default="cache",
+                    help="cache stage or the material_light_from_scratch_"
+                         "resample stage (32 secondary samples, debias).")
     args = ap.parse_args()
 
-    out = {"batch": args.batch, "steps": args.steps, "device": "cpu"}
+    out = {"batch": args.batch, "steps": args.steps, "device": "cpu",
+           "stage": args.stage}
     if args.side in ("ref", "both"):
         print("[reference] building + compiling...", flush=True)
-        out["reference"] = run_reference(args.batch, args.steps)
+        out["reference"] = run_reference(args.batch, args.steps, stage=args.stage)
         print("[reference]", out["reference"], flush=True)
     if args.side in ("ours", "both"):
         print("[ours] building + compiling...", flush=True)
-        out["ours"] = run_ours(args.batch, args.steps, layout=args.layout)
+        out["ours"] = run_ours(args.batch, args.steps, layout=args.layout,
+                               stage=args.stage)
         out["ours"]["layout"] = args.layout
         print("[ours]", out["ours"], flush=True)
     if "reference" in out and "ours" in out:

@@ -735,6 +735,92 @@ class BaseMaterialMLP(shading.BaseShader):
 
     # --- MC integration engine ------------------------------------------------------
 
+    def _sample_lobe_rays(self, rng, rays, sampler_results, material_sec, light_sec,
+                          samplers, num_secondary_samples, train_frac, mesh):
+        """Fan one lobe out into secondary rays + importance-sample records."""
+        near = self._compute_near(train_frac)
+        key, rng = jaxutil.random_split(rng)
+        ref_rays, ref_samples = render_utils.get_secondary_rays(
+            key,
+            rays,
+            sampler_results["points"],
+            rays.viewdirs,
+            sampler_results[self.normals_target],
+            material_sec,
+            refdir_eps=near,
+            normal_eps=self.config.secondary_normal_eps,
+            random_generator_2d=self.random_generator_2d,
+            stratified_sampling=self.stratified_sampling,
+            use_mis=self.use_mis,
+            samplers=samplers,
+            num_secondary_samples=num_secondary_samples,
+            light_sampler_results=light_sec,
+            offset_origins=mesh is not None,
+            far=self.config.secondary_far,
+        )
+        if self.config.material_loss_radius < float("inf"):
+            mask = (
+                jnp.linalg.norm(ref_rays.origins, axis=-1, keepdims=True)
+                < self.config.material_loss_radius
+            ).astype(jnp.float32)
+            shading_w = mask * self.stopgrad_shading_weight
+        else:
+            shading_w = self.stopgrad_shading_weight
+        for d in ("local_viewdirs", "local_lightdirs", "global_viewdirs",
+                  "global_lightdirs"):
+            ref_samples[d] = stopgrad_with_weight(ref_samples[d], shading_w)
+        ref_samples["weight"] = jnp.where(
+            ref_samples["local_lightdirs"][..., 2:] > 0.0, ref_samples["weight"], 0.0
+        )
+        if self.stopgrad_samples:
+            ref_samples = jax.lax.stop_gradient(ref_samples)
+        if self.stopgrad_rays:
+            ref_rays = jax.tree_util.tree_map(jax.lax.stop_gradient, ref_rays)
+        return ref_rays, ref_samples
+
+    def _attach_lobe_radiance(self, rgb, rgb_ns, ref_samples, ref_sampler_results,
+                              feature, num_secondary_samples, direct):
+        """Post-query bookkeeping shared by the fused and per-lobe paths:
+        reshape the queried radiance, align occlusion rows, and attach the
+        BRDF correction (material.py:2174-2231 tail)."""
+        rgb = jnp.nan_to_num(rgb)
+        rgb_ns = jnp.nan_to_num(rgb_ns)
+        if self.stopgrad_rgb:
+            rgb = jax.lax.stop_gradient(rgb)
+
+        if direct or not self.config.use_transient:
+            shape = (-1, num_secondary_samples, self.num_rgb_channels)
+        else:
+            shape = (rgb.reshape(-1).shape[0] // (
+                num_secondary_samples * self.config.n_bins * self.num_rgb_channels
+            ), num_secondary_samples, self.config.n_bins, self.num_rgb_channels)
+        rgb = rgb.reshape(shape)
+        rgb_ns = rgb_ns.reshape(shape)
+
+        ref_samples = jax.tree_util.tree_map(
+            lambda x: x.reshape(rgb.shape[0], -1, x.shape[-1]), ref_samples
+        )
+        brdf_correction = (
+            self.get_brdf_correction(feature, ref_samples, num_secondary_samples)
+            if self.use_brdf_correction
+            else jnp.ones_like(ref_samples["local_lightdirs"][..., :2])
+        )
+        # acc is per-shadow-ray; the active closure repeats it to
+        # num_rgb_channels, so realign rows to rgb's (points, samples)
+        # layout and keep one channel.
+        occ_acc = ref_sampler_results[-1]["acc"].reshape(
+            rgb.shape[0], rgb.shape[1], -1
+        )[..., :1]
+        ref_samples.update(
+            {
+                "radiance_in": rgb,
+                "indirect_occ": occ_acc,
+                "radiance_in_no_stopgrad": rgb_ns,
+                "brdf_correction": brdf_correction,
+            }
+        )
+        return ref_samples
+
     def get_outgoing_radiance_helper(
         self, rng, rays, feature, sampler_results, material, material_type, samplers,
         num_secondary_samples, radiance_cache_fn, train_frac=1.0, train=True, mesh=None,
@@ -752,46 +838,13 @@ class BaseMaterialMLP(shading.BaseShader):
             if self.stopgrad_light
             else light_sampler_results
         )
-        near = self._compute_near(train_frac)
 
         if ref_samples is None:
             key, rng = jaxutil.random_split(rng)
-            ref_rays, ref_samples = render_utils.get_secondary_rays(
-                key,
-                rays,
-                sampler_results["points"],
-                rays.viewdirs,
-                sampler_results[self.normals_target],
-                material_sec,
-                refdir_eps=near,
-                normal_eps=self.config.secondary_normal_eps,
-                random_generator_2d=self.random_generator_2d,
-                stratified_sampling=self.stratified_sampling,
-                use_mis=self.use_mis,
-                samplers=samplers,
-                num_secondary_samples=num_secondary_samples,
-                light_sampler_results=light_sec,
-                offset_origins=mesh is not None,
-                far=self.config.secondary_far,
+            ref_rays, ref_samples = self._sample_lobe_rays(
+                key, rays, sampler_results, material_sec, light_sec,
+                samplers, num_secondary_samples, train_frac, mesh,
             )
-            if self.config.material_loss_radius < float("inf"):
-                mask = (
-                    jnp.linalg.norm(ref_rays.origins, axis=-1, keepdims=True)
-                    < self.config.material_loss_radius
-                ).astype(jnp.float32)
-                shading_w = mask * self.stopgrad_shading_weight
-            else:
-                shading_w = self.stopgrad_shading_weight
-            for d in ("local_viewdirs", "local_lightdirs", "global_viewdirs",
-                      "global_lightdirs"):
-                ref_samples[d] = stopgrad_with_weight(ref_samples[d], shading_w)
-            ref_samples["weight"] = jnp.where(
-                ref_samples["local_lightdirs"][..., 2:] > 0.0, ref_samples["weight"], 0.0
-            )
-            if self.stopgrad_samples:
-                ref_samples = jax.lax.stop_gradient(ref_samples)
-            if self.stopgrad_rays:
-                ref_rays = jax.tree_util.tree_map(jax.lax.stop_gradient, ref_rays)
         else:
             ref_samples = jaxutil.copy_tree(ref_samples)
             ref_rays = jaxutil.copy_tree(ref_rays)
@@ -801,45 +854,21 @@ class BaseMaterialMLP(shading.BaseShader):
             rgb, rgb_ns, ref_sampler_results = radiance_cache_fn(
                 key, ref_rays, ref_samples, ref_sampler_results
             )
-            rgb = jnp.nan_to_num(rgb)
-            rgb_ns = jnp.nan_to_num(rgb_ns)
-            if self.stopgrad_rgb:
-                rgb = jax.lax.stop_gradient(rgb)
-
-            if direct or not self.config.use_transient:
-                shape = (-1, num_secondary_samples, self.num_rgb_channels)
-            else:
-                shape = (rgb.reshape(-1).shape[0] // (
-                    num_secondary_samples * self.config.n_bins * self.num_rgb_channels
-                ), num_secondary_samples, self.config.n_bins, self.num_rgb_channels)
-            rgb = rgb.reshape(shape)
-            rgb_ns = rgb_ns.reshape(shape)
-
-            ref_samples = jax.tree_util.tree_map(
-                lambda x: x.reshape(rgb.shape[0], -1, x.shape[-1]), ref_samples
-            )
-            brdf_correction = (
-                self.get_brdf_correction(feature, ref_samples, num_secondary_samples)
-                if self.use_brdf_correction
-                else jnp.ones_like(ref_samples["local_lightdirs"][..., :2])
-            )
-            # acc is per-shadow-ray; the active closure repeats it to
-            # num_rgb_channels, so realign rows to rgb's (points, samples)
-            # layout and keep one channel.
-            occ_acc = ref_sampler_results[-1]["acc"].reshape(
-                rgb.shape[0], rgb.shape[1], -1
-            )[..., :1]
-            ref_samples.update(
-                {
-                    "radiance_in": rgb,
-                    "indirect_occ": occ_acc,
-                    "radiance_in_no_stopgrad": rgb_ns,
-                    "brdf_correction": brdf_correction,
-                }
+            ref_samples = self._attach_lobe_radiance(
+                rgb, rgb_ns, ref_samples, ref_sampler_results,
+                feature, num_secondary_samples, direct,
             )
         else:
             ref_sampler_results = jaxutil.copy_tree(ref_sampler_results)
 
+        integrated = self._integrate_lobe(
+            material_type, material, ref_samples, ref_sampler_results, direct, sh
+        )
+        return integrated, ref_rays, ref_samples, ref_sampler_results
+
+    def _integrate_lobe(self, material_type, material, ref_samples,
+                        ref_sampler_results, direct, sh):
+        """MC-integrate one lobe's queried samples and restore point dims."""
         if self.config.use_transient:
             integrated = render_utils.transient_integrate_reflect_rays(
                 material_type,
@@ -876,7 +905,7 @@ class BaseMaterialMLP(shading.BaseShader):
             integrated = jax.tree_util.tree_map(
                 lambda x: x.reshape(tuple(sh[:-1]) + (-1, x.shape[-1])), integrated
             )
-        return integrated, ref_rays, ref_samples, ref_sampler_results
+        return integrated
 
     def _process_lobe(self, light_mode, light_component, rng, rays, feature,
                       sampler_results, material, num_secondary_samples,
@@ -925,6 +954,108 @@ class BaseMaterialMLP(shading.BaseShader):
                 stopgrad_with_weight(jnp.nan_to_num(val), stopgrad_weight)
             )
 
+    def _process_indirect_lobes_fused(self, rng, rays, feature, sampler_results,
+                                      material, num_secondary_samples,
+                                      radiance_cache_fn, train_frac, train, mesh,
+                                      light_sampler_results, integrated_outputs,
+                                      stopgrad_weight):
+        """Both indirect lobes through ONE radiance query.
+
+        TPU-first fusion of the per-lobe loop (material.py:1352-1565): the
+        specular and diffuse lobes keep their own importance samplers and MIS
+        pdfs, but the radiance source is lobe-agnostic, so their secondary
+        ray sets are concatenated along the secondary axis and traced in a
+        single cache forward — one encoder gather + one MLP batch at 2x rows
+        instead of two full cache subgraphs. Results split back per lobe and
+        integrate exactly as the sequential path would. Returns False (no-op)
+        when the split lobes aren't both active, so the caller can fall back.
+        """
+        lobes = []
+        for comp in ("specular", "diffuse"):
+            n, samplers, material_type = self._sampling_parameters(
+                num_secondary_samples, "indirect", comp, train
+            )
+            lobes.append((comp, n, samplers, material_type))
+        ns = [n for _, n, _, _ in lobes]
+        if min(ns) == 0:
+            return False
+
+        sh = sampler_results["points"].shape
+        material_sec = (
+            jax.lax.stop_gradient(material) if self.stopgrad_material else material
+        )
+        light_sec = (
+            jax.lax.stop_gradient(light_sampler_results)
+            if self.stopgrad_light
+            else light_sampler_results
+        )
+
+        sampled = []
+        for comp, n, samplers, _ in lobes:
+            key, rng = jaxutil.random_split(rng)
+            sampled.append(self._sample_lobe_rays(
+                key, rays, sampler_results, material_sec, light_sec,
+                samplers, n, train_frac, mesh,
+            ))
+        n_total = sum(ns)
+
+        def cat(x, y):
+            if (
+                hasattr(x, "ndim") and hasattr(y, "ndim") and x.ndim == y.ndim
+                and x.ndim >= 2 and x.shape[0] == y.shape[0]
+                and x.shape[1] == ns[0] and y.shape[1] == ns[1]
+                and x.shape[2:] == y.shape[2:]
+            ):
+                return jnp.concatenate([x, y], axis=1)
+            return x
+
+        fused_rays = jax.tree_util.tree_map(cat, sampled[0][0], sampled[1][0])
+        key, rng = jaxutil.random_split(rng)
+        rgb, rgb_ns, srs = radiance_cache_fn(key, fused_rays, None, None)
+
+        if not self.config.use_transient:
+            shape = (-1, n_total, self.num_rgb_channels)
+        else:
+            shape = (rgb.reshape(-1).shape[0] // (
+                n_total * self.config.n_bins * self.num_rgb_channels
+            ), n_total, self.config.n_bins, self.num_rgb_channels)
+        rgb = rgb.reshape(shape)
+        rgb_ns = rgb_ns.reshape(shape)
+        n_points = rgb.shape[0]
+
+        def lobe_slice(x, lo, hi):
+            if not hasattr(x, "ndim"):
+                return x
+            if x.ndim >= 2 and x.shape[0] == n_points and x.shape[1] == n_total:
+                return x[:, lo:hi]
+            if x.ndim >= 1 and x.shape[0] == n_points * n_total:
+                y = x.reshape((n_points, n_total) + x.shape[1:])
+                return y[:, lo:hi].reshape((-1,) + x.shape[1:])
+            return x
+
+        offset = 0
+        for (comp, n, _, material_type), (rr, rs) in zip(lobes, sampled):
+            lo, hi = offset, offset + n
+            offset = hi
+            srs_l = jax.tree_util.tree_map(
+                lambda x: lobe_slice(x, lo, hi), srs
+            )
+            ref_samples_l = self._attach_lobe_radiance(
+                rgb[:, lo:hi], rgb_ns[:, lo:hi], rs, srs_l, feature, n,
+                direct=False,
+            )
+            integrated = self._integrate_lobe(
+                material_type, material, ref_samples_l, srs_l, False, sh
+            )
+            integrated_outputs[f"ref_rays_indirect_{comp}"] = rr
+            integrated_outputs[f"ref_samples_indirect_{comp}"] = ref_samples_l
+            integrated_outputs[f"ref_sampler_results_indirect_{comp}"] = srs_l
+            for k, val in integrated.items():
+                integrated_outputs[f"indirect_{comp}_{k}"] = (
+                    stopgrad_with_weight(jnp.nan_to_num(val), stopgrad_weight)
+                )
+        return True
+
     def get_outgoing_radiance(self, rng, rays, feature, sampler_results, material,
                               num_secondary_samples, radiance_cache_fn, env_map_fn,
                               active_fn=None, train_frac=1.0, train=True, mesh=None,
@@ -944,27 +1075,43 @@ class BaseMaterialMLP(shading.BaseShader):
             return None, None, None
 
         if self.use_indirect:
-            rr, rs, rsr = reuse("indirect", "specular")
-            key, rng = jaxutil.random_split(rng)
-            self._process_lobe(
-                "indirect", "specular", key, rays, feature, sampler_results, material,
-                num_secondary_samples, radiance_cache_fn, train_frac, train, mesh,
-                light_sampler_results, out, self.stopgrad_indirect_weight,
-                ref_rays=rr, ref_samples=rs, ref_sampler_results=rsr, **kwargs,
-            )
+            fused = False
+            if (
+                last_integrated_outputs is None
+                and self.separate_integration_diffuse_specular
+                and not self.use_env_map
+            ):
+                # Fresh split lobes share one radiance query (TPU-first
+                # fusion; falls back if either lobe has zero samples).
+                key, rng = jaxutil.random_split(rng)
+                fused = self._process_indirect_lobes_fused(
+                    key, rays, feature, sampler_results, material,
+                    num_secondary_samples, radiance_cache_fn, train_frac,
+                    train, mesh, light_sampler_results, out,
+                    self.stopgrad_indirect_weight,
+                )
+            if not fused:
+                rr, rs, rsr = reuse("indirect", "specular")
+                key, rng = jaxutil.random_split(rng)
+                self._process_lobe(
+                    "indirect", "specular", key, rays, feature, sampler_results, material,
+                    num_secondary_samples, radiance_cache_fn, train_frac, train, mesh,
+                    light_sampler_results, out, self.stopgrad_indirect_weight,
+                    ref_rays=rr, ref_samples=rs, ref_sampler_results=rsr, **kwargs,
+                )
 
-            rr, rs, rsr = reuse("indirect", "diffuse")
-            if last_integrated_outputs is None and not self.separate_integration_diffuse_specular:
-                rr = out.get("ref_rays_indirect_specular")
-                rs = out.get("ref_samples_indirect_specular")
-                rsr = out.get("ref_sampler_results_indirect_specular")
-            key, rng = jaxutil.random_split(rng)
-            self._process_lobe(
-                "indirect", "diffuse", key, rays, feature, sampler_results, material,
-                num_secondary_samples, radiance_cache_fn, train_frac, train, mesh,
-                light_sampler_results, out, self.stopgrad_indirect_weight,
-                ref_rays=rr, ref_samples=rs, ref_sampler_results=rsr, **kwargs,
-            )
+                rr, rs, rsr = reuse("indirect", "diffuse")
+                if last_integrated_outputs is None and not self.separate_integration_diffuse_specular:
+                    rr = out.get("ref_rays_indirect_specular")
+                    rs = out.get("ref_samples_indirect_specular")
+                    rsr = out.get("ref_sampler_results_indirect_specular")
+                key, rng = jaxutil.random_split(rng)
+                self._process_lobe(
+                    "indirect", "diffuse", key, rays, feature, sampler_results, material,
+                    num_secondary_samples, radiance_cache_fn, train_frac, train, mesh,
+                    light_sampler_results, out, self.stopgrad_indirect_weight,
+                    ref_rays=rr, ref_samples=rs, ref_sampler_results=rsr, **kwargs,
+                )
 
         if self.use_active:
             direct_lsr = self._prepare_direct_light_sampler_results(sampler_results, rays)
