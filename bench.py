@@ -30,7 +30,7 @@ import numpy as np
 from neural_radiance_caching_tpu.data import datasets
 from neural_radiance_caching_tpu.engine.configs import Config
 from neural_radiance_caching_tpu.models.material_model import MaterialModel
-from neural_radiance_caching_tpu.models.nerf_model import NeRFModel
+from neural_radiance_caching_tpu.models.nerf_model import NeRFModel, TransientNeRFModel
 from neural_radiance_caching_tpu.ops import coord
 from neural_radiance_caching_tpu.parallel import mesh as mesh_lib
 from neural_radiance_caching_tpu.parallel import train as train_lib
@@ -41,9 +41,15 @@ BATCH_SIZE = 8192
 # secondary fan-out (32 secondary rays x full cache hierarchy per surface
 # point) makes activations ~32x a cache ray's, so remat is on for this stage.
 MATERIAL_BATCH_SIZE = 1536
+# Transient cache stage: every ray carries n_bins=700 time bins (cornell
+# budget) and the active shader traces a shadow hierarchy per sample, so
+# the batch sits well below the steady cache's.
+TRANSIENT_BATCH_SIZE = 2048
+TRANSIENT_N_BINS = 700
 WARMUP_STEPS = 3
 BENCH_STEPS = 20
 MATERIAL_BENCH_STEPS = 10
+TRANSIENT_BENCH_STEPS = 10
 
 # Measured reference-relative anchors, recorded where BASELINE.md documents
 # the runs that produced them. Update alongside any re-measurement.
@@ -254,6 +260,34 @@ def build_flagship_material_model(config, shader_extras=None):
     )
 
 
+def build_flagship_transient_cache_model(config):
+    """Flagship TRANSIENT cache stage (InvProp paper #2).
+
+    Reference scale (configs/transient_simulation_ngp_yobo_cornell.gin):
+    n_bins=700 time bins, actively-lit shader (use_active=True,
+    use_indirect=True, use_ambient=False — cornell gin:32-35), learnable
+    light source, the same 64/64/32 sampling hierarchy and NGP appearance
+    pyramid as the steady cache, trained with the time-binned
+    rawnerf_transient_unbiased data loss (cornell gin:51-53). The reference
+    renders transients through internal/render.py:250-507
+    (volumetric_transient_rendering); here the time-binned scatter is
+    ops/render.py's bin scatter over the same exposure/bin budget.
+    """
+    cache_params = flagship_cache_params(config)
+    shader = dict(cache_params["shader_params"])
+    shader.update(
+        use_active=True, use_indirect=True, use_ambient=False,
+        # Indirect time-resolved radiance comes from the transient SLF; the
+        # shadow/occlusion hierarchy follows the reference's
+        # shadow_sampling_strategy (transient_simulation_ngp_yobo.gin:21-25).
+        net_depth_irradiance=2, net_width_irradiance=64,
+    )
+    cache_params["shader_params"] = shader
+    # TransientNeRFModel.resample=False per the cornell stage table.
+    cache_params["resample_secondary"] = False
+    return TransientNeRFModel(config=config, **cache_params)
+
+
 def build_reference_layout_material_model(config):
     """Material stage over the reference's own grids-on-all-levels cache
     layout (same architecture/params as the reference's MaterialModel under
@@ -438,6 +472,34 @@ def _main_default():
     mat_detail["secondary_samples_per_ray"] = 32
     mat_rays_per_sec = MATERIAL_BATCH_SIZE / mat_dt
 
+    # Transient (InvProp) cache stage: time-binned rendering on the chip.
+    tr_config = dataclasses.replace(
+        config,
+        batch_size=TRANSIENT_BATCH_SIZE,
+        use_transient=True,
+        n_bins=TRANSIENT_N_BINS,
+        # Bin span covers the scene's full two-bounce path-length range
+        # (near 2, far 6 -> <=14 units at 0.02/bin), the same
+        # coverage-to-geometry ratio as cornell's 700x0.01 over near
+        # 0.7/far 4.
+        exposure_time=0.02,
+        learnable_light=True,
+        light_source_position=[0.0, 0.0, 1.0],
+        data_loss_type="rawnerf_transient_unbiased",
+        linear_to_srgb=False,
+    )
+    # Lower res/image count: with 700 bins each image's flattened target is
+    # res^2 x 700 x 3 floats; 4x64^2 keeps the host-side set at ~140MB.
+    tr_dataset = datasets.SyntheticSpheres(
+        "train", None, tr_config, num_images=4, resolution=64
+    )
+    tr_dt, tr_detail = bench_train_steps(
+        build_flagship_transient_cache_model(tr_config), tr_config, tr_dataset,
+        TRANSIENT_BENCH_STEPS, TRANSIENT_BATCH_SIZE,
+    )
+    tr_detail["n_bins"] = TRANSIENT_N_BINS
+    tr_rays_per_sec = TRANSIENT_BATCH_SIZE / tr_dt
+
     result = {
         "metric": "train_rays_per_sec_cache_stage",
         "value": round(rays_per_sec, 1),
@@ -449,6 +511,10 @@ def _main_default():
             "material_stage": dict(
                 mat_detail,
                 train_rays_per_sec=round(mat_rays_per_sec, 1),
+            ),
+            "transient_stage": dict(
+                tr_detail,
+                train_rays_per_sec=round(tr_rays_per_sec, 1),
             ),
             # Measured reference-relative anchors (BASELINE.md has the full
             # methodology; the reference itself cannot run on TPU —
