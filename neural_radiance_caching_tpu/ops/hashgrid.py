@@ -121,6 +121,65 @@ def _hash_indices(corners, table_size):
     return (h % np.uint32(table_size)).astype(jnp.int32)
 
 
+def _tap_corners_and_weights(xT, grid_sizes, interpolation):
+    """Per-tap corners/weights in TPU-layout-safe rows-last planes.
+
+    Every tensor here keeps the (large) point axis minor-most and the tiny
+    structural axes (level, xyz component, tap) major, so any buffer XLA
+    materializes tiles as [small..., 8k+, 128k+] with negligible padding.
+    The logically equivalent [..., L, U(, 3)] layout of
+    _corner_coords_and_weights pads its (U<=8, 3or F=4) minor dims to
+    (8, 128) under TPU tiling - up to 51x memory - which is what made the
+    material-stage gather chain OOM (round-3 finding; see also the round-2
+    trace's 29% layout-copy fraction).
+
+    Args:
+      xT: [3, P] coordinates, component-major.
+      grid_sizes: static [L] level resolutions.
+      interpolation: 'trilinear' (8 taps) or 'simplex' (4 taps).
+
+    Returns:
+      List over taps of (corners [L, 3, P] int32, weights [L, P]).
+    """
+    sizes = jnp.asarray(np.asarray(grid_sizes), xT.dtype)  # [L]
+    pos = xT[None, :, :] * sizes[:, None, None] - 0.5  # [L, 3, P]
+    floor = jnp.floor(pos)
+    frac = pos - floor  # [L, 3, P]
+    floor = floor.astype(jnp.int32)
+
+    if interpolation == "trilinear":
+        taps = []
+        for corner in _CORNERS:  # 8 static taps
+            sel = jnp.asarray(corner, xT.dtype)[None, :, None]  # [1, 3, 1]
+            w3 = sel * frac + (1 - sel) * (1 - frac)  # [L, 3, P]
+            taps.append((
+                floor + corner[None, :, None],
+                w3[:, 0, :] * w3[:, 1, :] * w3[:, 2, :],
+            ))
+        return taps
+
+    if interpolation != "simplex":
+        raise ValueError(f"Unknown interpolation {interpolation!r}")
+
+    # Tetrahedral taps: same rank construction as _corner_coords_and_weights,
+    # on [L, P] planes.
+    fx, fy, fz = frac[:, 0, :], frac[:, 1, :], frac[:, 2, :]
+    i32 = jnp.int32
+    r_x = (fy > fx).astype(i32) + (fz > fx).astype(i32)
+    r_y = (fx >= fy).astype(i32) + (fz > fy).astype(i32)
+    r_z = (fx >= fz).astype(i32) + (fy >= fz).astype(i32)
+    ranks = jnp.stack([r_x, r_y, r_z], axis=1)  # [L, 3, P]
+    g1 = jnp.maximum(jnp.maximum(fx, fy), fz)
+    g3 = jnp.minimum(jnp.minimum(fx, fy), fz)
+    g2 = fx + fy + fz - g1 - g3
+    tap_weights = (1.0 - g1, g1 - g2, g2 - g3, g3)  # each [L, P]
+    taps = []
+    for k in range(4):
+        offsets = (ranks < k).astype(i32)  # [L, 3, P]
+        taps.append((floor + offsets, tap_weights[k]))
+    return taps
+
+
 def _dense_indices(corners, grid_size):
     """Flat [x*S*S + y*S + z] index plus an in-range validity mask."""
     valid = jnp.all((corners >= 0) & (corners < grid_size), axis=-1)
@@ -168,57 +227,95 @@ def _multires_grid_encode_xla(
       precondition scaling.
     """
     grid_sizes = np.asarray(grid_sizes)
+    num_levels = len(grid_sizes)
     num_dense = len(dense_offsets)
-    num_hash = len(grid_sizes) - num_dense
-    feats = []
+    num_hash = num_levels - num_dense
 
-    corners, weights = _corner_coords_and_weights(x, grid_sizes, interpolation)
+    # All internal tensors keep the point axis minor-most (see
+    # _tap_corners_and_weights). Gathers pull COLUMNS from feature-leading
+    # [F, rows] tables so their outputs are [F, L, P] - never a tensor whose
+    # two minor dims are both tiny.
+    batch_shape = x.shape[:-2]
+    m = x.shape[-2]
+    p = int(np.prod(batch_shape, dtype=np.int64)) if batch_shape else 1
+    xf = x.reshape(p, m, 3)
+    xsf = None if x_scale is None else x_scale.reshape(p, m)
+
+    flat_tables_t = None
+    if num_hash:
+        flat_tables_t = hash_tables.reshape(-1, hash_tables.shape[-1]).T  # [F, Lh*T]
+        level_offset = jnp.asarray(
+            (np.arange(num_hash, dtype=np.int32) * table_size)[:, None]
+        )  # [Lh, 1]
+    dense_pool_t = dense_pool.T if num_dense else None  # [F, sum(S^3)]
 
     if x_scale is not None:
-        # Fraction of an isotropic Gaussian inside a voxel, per level. Uses the
-        # reference's fast erf approximation (math.approx_erf) for parity.
         from neural_radiance_caching_tpu.ops import math as nrc_math
 
-        sizes = jnp.asarray(grid_sizes, x.dtype)
-        mip_w = nrc_math.approx_erf(1 / (jnp.sqrt(8.0) * (x_scale * sizes)))  # [..., L]
-        weights = weights * mip_w[..., None]
+        sizes_col = jnp.asarray(grid_sizes, x.dtype)[:, None]  # [L, 1]
 
-    if num_dense:
-        d_corners = corners[..., :num_dense, :, :]
-        idx_parts = []
-        valid_parts = []
-        for li in range(num_dense):
-            idx, valid = _dense_indices(d_corners[..., li, :, :], int(grid_sizes[li]))
-            idx_parts.append(idx + dense_offsets[li])
-            valid_parts.append(valid)
-        d_idx = jnp.stack(idx_parts, axis=-2)  # [..., Ld, 8]
-        d_valid = jnp.stack(valid_parts, axis=-2)
-        d_w = weights[..., :num_dense, :] * d_valid  # zero out-of-range corners
-        d_feat = jnp.take(dense_pool, d_idx, axis=0)  # [..., Ld, 8, F]
-        feats.append((d_w[..., None] * d_feat).sum(axis=-2))  # [..., Ld, F]
+    per_m = []
+    for mi in range(m):
+        xT = xf[:, mi, :].T  # [3, P]
+        taps = _tap_corners_and_weights(xT, grid_sizes, interpolation)
+        mip_w = None
+        if x_scale is not None:
+            # Gaussian-in-voxel mip weight, reference's fast-erf form
+            # (grid_utils.py:865-871), as an [L, P] plane.
+            mip_w = nrc_math.approx_erf(
+                1 / (jnp.sqrt(8.0) * (xsf[:, mi][None, :] * sizes_col))
+            )
+        acc = None
+        for corners, w in taps:
+            if mip_w is not None:
+                w = w * mip_w
+            parts = []
+            if num_dense:
+                idx_parts, valid_parts = [], []
+                for li in range(num_dense):
+                    c = corners[li]  # [3, P]
+                    size = int(grid_sizes[li])
+                    valid = jnp.all((c >= 0) & (c < size), axis=0)
+                    cc = jnp.clip(c, 0, size - 1)
+                    idx = (cc[0] * size + cc[1]) * size + cc[2]
+                    idx_parts.append(idx + dense_offsets[li])
+                    valid_parts.append(valid)
+                d_idx = jnp.stack(idx_parts, axis=0)  # [Ld, P]
+                d_valid = jnp.stack(valid_parts, axis=0)
+                d_feat = jnp.take(dense_pool_t, d_idx, axis=1)  # [F, Ld, P]
+                parts.append(d_feat * (w[:num_dense] * d_valid)[None])
+            if num_hash:
+                hc = corners[num_dense:].astype(jnp.uint32)  # [Lh, 3, P]
+                h = hc[:, 0] ^ (hc[:, 1] * _PI2) ^ (hc[:, 2] * _PI3)
+                h_idx = (h % np.uint32(table_size)).astype(jnp.int32)  # [Lh, P]
+                h_feat = jnp.take(
+                    flat_tables_t, h_idx + level_offset, axis=1
+                )  # [F, Lh, P]
+                parts.append(h_feat * w[num_dense:][None])
+            contrib = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+            acc = contrib if acc is None else acc + contrib
+        per_m.append(acc)  # [F, L, P]
 
-    if num_hash:
-        h_corners = corners[..., num_dense:, :, :]
-        h_idx = _hash_indices(h_corners, table_size)  # [..., Lh, 8]
-        # Fold the level into the index: one gather over the stacked table.
-        level_offset = (jnp.arange(num_hash, dtype=jnp.int32) * table_size)[:, None]
-        flat_tables = hash_tables.reshape(-1, hash_tables.shape[-1])
-        h_feat = jnp.take(flat_tables, h_idx + level_offset, axis=0)  # [..., Lh, 8, F]
-        h_w = weights[..., num_dense:, :]
-        feats.append((h_w[..., None] * h_feat).sum(axis=-2))  # [..., Lh, F]
-
-    f = jnp.concatenate(feats, axis=-2) if len(feats) > 1 else feats[0]  # [..., M?, L, F]
+    def to_rows(flp):
+        # [F, L, P] -> [..., L*F]; the one layout change, on the compact
+        # reduced features at the encoder boundary.
+        return jnp.transpose(flp, (2, 1, 0)).reshape(batch_shape + (num_levels * flp.shape[0],))
 
     if multisample_reduce == "mean":
-        f = jnp.mean(f, axis=-3)
-    elif multisample_reduce == "concat":
-        f = jnp.moveaxis(f, -3, -2)  # [..., L, M, F]
-        f = f.reshape(f.shape[:-2] + (-1,))
-        return f
-    elif multisample_reduce is not None:
-        raise ValueError(f"Unknown multisample_reduce {multisample_reduce}")
-
-    return f.reshape(f.shape[:-2] + (-1,))  # [..., L*F]
+        f = per_m[0]
+        for extra in per_m[1:]:
+            f = f + extra
+        return to_rows(f / m)
+    if multisample_reduce == "concat":
+        # [..., L, M*F], matching the historical layout (L major, then M, F).
+        stacked = jnp.stack(per_m, axis=0)  # [M, F, L, P]
+        f = jnp.transpose(stacked, (3, 2, 0, 1))  # [P, L, M, F]
+        nf = stacked.shape[1]
+        return f.reshape(batch_shape + (num_levels, m * nf))
+    if multisample_reduce is None:
+        rows = [to_rows(flp) for flp in per_m]
+        return jnp.stack(rows, axis=len(batch_shape))  # [..., M, L*F]
+    raise ValueError(f"Unknown multisample_reduce {multisample_reduce}")
 
 
 def _corner_indices_and_weights(x, x_scale, grid_sizes, table_size, dense_offsets,

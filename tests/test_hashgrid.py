@@ -207,3 +207,85 @@ def test_weighted_scatter_padded_updates_leave_row0_exact():
             ref[l, idx[l, j]] += w[l, j] * ct[l, j // U]
     np.testing.assert_allclose(out, ref, atol=1e-4)
     np.testing.assert_array_equal(out[:, 0, :], 0.0)
+
+
+def _naive_encode(x, hash_tables, dense_pool, grid_sizes, table_size,
+                  dense_offsets, x_scale=None, multisample_reduce="mean",
+                  interpolation="trilinear"):
+    """Straight-line encoder over _corner_coords_and_weights ([..., L, U]
+    layout): the independent oracle for the layout-safe production path."""
+    grid_sizes_np = np.asarray(grid_sizes)
+    num_dense = len(dense_offsets)
+    num_hash = len(grid_sizes_np) - num_dense
+    corners, weights = hashgrid._corner_coords_and_weights(
+        x, grid_sizes_np, interpolation
+    )
+    if x_scale is not None:
+        from neural_radiance_caching_tpu.ops import math as nrc_math
+
+        sizes = jnp.asarray(grid_sizes_np, x.dtype)
+        mip_w = nrc_math.approx_erf(1 / (jnp.sqrt(8.0) * (x_scale * sizes)))
+        weights = weights * mip_w[..., None]
+    feats = []
+    if num_dense:
+        for li in range(num_dense):
+            idx, valid = hashgrid._dense_indices(
+                corners[..., li, :, :], int(grid_sizes_np[li])
+            )
+            f = jnp.take(dense_pool, idx + dense_offsets[li], axis=0)
+            w = weights[..., li, :] * valid
+            feats.append((w[..., None] * f).sum(axis=-2))
+    if num_hash:
+        flat = hash_tables.reshape(-1, hash_tables.shape[-1])
+        for li in range(num_hash):
+            idx = hashgrid._hash_indices(
+                corners[..., num_dense + li, :, :], table_size
+            )
+            f = jnp.take(flat, idx + li * table_size, axis=0)
+            w = weights[..., num_dense + li, :]
+            feats.append((w[..., None] * f).sum(axis=-2))
+    f = jnp.stack(feats, axis=-2)  # [..., M, L, F]
+    if multisample_reduce == "mean":
+        f = jnp.mean(f, axis=-3)
+        return f.reshape(f.shape[:-2] + (-1,))
+    if multisample_reduce == "concat":
+        f = jnp.moveaxis(f, -3, -2)
+        return f.reshape(f.shape[:-2] + (-1,))
+    return f.reshape(f.shape[:-2] + (-1,))
+
+
+def test_layout_safe_encoder_matches_naive_all_modes():
+    """The rows-last production encoder vs the [..., L, U]-layout oracle:
+    simplex + trilinear, mixed dense/hash levels, mip x_scale, and all
+    three multisample reductions."""
+    key = jax.random.PRNGKey(11)
+    grid_sizes = (8, 16, 32, 64)
+    T = 4096  # 8^3, 16^3 dense; 32^3, 64^3 hashed
+    F = 4
+    dense_pool, hash_tables, dense_offsets, dense_mask = _setup_encoder(
+        key, np.asarray(grid_sizes), T, F
+    )
+    assert dense_mask.tolist() == [True, True, False, False]
+    k1, k2 = jax.random.split(key)
+    x = jax.random.uniform(k1, (7, 3, 3), minval=-0.2, maxval=1.2)
+    x_scale = jax.random.uniform(k2, (7, 3, 1), minval=1e-3, maxval=0.1)
+
+    for interp in ("trilinear", "simplex"):
+        for reduce in ("mean", "concat", None):
+            for xs in (None, x_scale):
+                got = hashgrid._multires_grid_encode_xla(
+                    x, hash_tables, dense_pool,
+                    grid_sizes=grid_sizes, table_size=T,
+                    dense_offsets=dense_offsets, x_scale=xs,
+                    multisample_reduce=reduce, interpolation=interp,
+                )
+                want = _naive_encode(
+                    x, hash_tables, dense_pool, grid_sizes, T,
+                    dense_offsets, x_scale=xs,
+                    multisample_reduce=reduce, interpolation=interp,
+                )
+                np.testing.assert_allclose(
+                    np.asarray(got).reshape(want.shape), np.asarray(want),
+                    rtol=1e-5, atol=1e-5,
+                    err_msg=f"{interp}/{reduce}/xs={xs is not None}",
+                )
