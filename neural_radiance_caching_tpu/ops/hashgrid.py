@@ -353,6 +353,86 @@ def _corner_indices_and_weights(x, x_scale, grid_sizes, table_size, dense_offset
     return d_idx, d_w, h_idx, h_w
 
 
+def _tap_index_weight_planes(x, x_scale, grid_sizes, table_size, dense_offsets,
+                             interpolation):
+    """Backward-pass index/weight planes: [L, U, P_total] (layout-safe).
+
+    The point axis stays minor-most so the only tiling pad is U->8 (2x max),
+    versus the 32-51x the [..., L, U] form suffers. P_total flattens
+    (batch..., M): the scatter treats every multisample as its own point.
+    """
+    grid_sizes = np.asarray(grid_sizes)
+    num_dense = len(dense_offsets)
+    num_hash = len(grid_sizes) - num_dense
+    xT = x.reshape(-1, 3).T  # [3, P_total]
+    taps = _tap_corners_and_weights(xT, grid_sizes, interpolation)
+    mip_w = None
+    if x_scale is not None:
+        from neural_radiance_caching_tpu.ops import math as nrc_math
+
+        sizes_col = jnp.asarray(grid_sizes, x.dtype)[:, None]
+        mip_w = nrc_math.approx_erf(
+            1 / (jnp.sqrt(8.0) * (x_scale.reshape(1, -1) * sizes_col))
+        )  # [L, P]
+
+    d_idx_t, d_w_t, h_idx_t, h_w_t = [], [], [], []
+    for corners, w in taps:
+        if mip_w is not None:
+            w = w * mip_w
+        if num_dense:
+            idx_parts, w_parts = [], []
+            for li in range(num_dense):
+                c = corners[li]
+                size = int(grid_sizes[li])
+                valid = jnp.all((c >= 0) & (c < size), axis=0)
+                cc = jnp.clip(c, 0, size - 1)
+                idx = (cc[0] * size + cc[1]) * size + cc[2]
+                idx_parts.append(idx + dense_offsets[li])
+                w_parts.append(w[li] * valid)
+            d_idx_t.append(jnp.stack(idx_parts, axis=0))
+            d_w_t.append(jnp.stack(w_parts, axis=0))
+        if num_hash:
+            hc = corners[num_dense:].astype(jnp.uint32)
+            h = hc[:, 0] ^ (hc[:, 1] * _PI2) ^ (hc[:, 2] * _PI3)
+            h_idx_t.append((h % np.uint32(table_size)).astype(jnp.int32))
+            h_w_t.append(w[num_dense:])
+
+    stack_taps = lambda ts: jnp.stack(ts, axis=1) if ts else None  # [L, U, P]
+    return (stack_taps(d_idx_t), stack_taps(d_w_t),
+            stack_taps(h_idx_t), stack_taps(h_w_t))
+
+
+def _pack_ct_planes(ct_lfp):
+    """[L, F, P] cotangent planes -> [L, P*F/LANES, LANES] packed rows.
+
+    The packed row layout interleaves SLOTS=LANES/F points per 128-lane row
+    (the scatter kernels' convention). Building it with a transpose would
+    materialize a [.., slots, F]-minor buffer (32x tiling pad); instead each
+    feature plane is matmul'd with a static [slots, LANES] selection matrix
+    on the MXU - layout-exact and effectively free.
+    """
+    from neural_radiance_caching_tpu.ops import scatter_tpu
+
+    l, f, p = ct_lfp.shape
+    lanes = scatter_tpu.LANES
+    slots = lanes // f
+    q = p // slots
+    sel = np.zeros((f, slots, lanes), np.float32)
+    for fi in range(f):
+        for sp in range(slots):
+            sel[fi, sp, sp * f + fi] = 1.0
+    out = None
+    for fi in range(f):
+        xq = ct_lfp[:, fi, :].reshape(l, q, slots)
+        contrib = jax.lax.dot_general(
+            xq, jnp.asarray(sel[fi]),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out = contrib if out is None else out + contrib
+    return out  # [L, q, LANES]
+
+
 def _make_encode_vjp(statics):
     """custom_vjp wrapper: XLA gathers forward, Pallas scatter backward."""
     from neural_radiance_caching_tpu.ops import scatter_tpu
@@ -387,15 +467,29 @@ def _make_encode_vjp(statics):
         num_hash = num_levels - num_dense
         m = x.shape[-2]
 
-        # Cotangent per (point, multisample, level, feature). 'mean' divides
-        # by M; 'concat'/None keep per-multisample cotangents.
         if multisample_reduce == "mean":
+            # Layout-safe path: tap planes [L, U, P] + matmul-packed ct rows,
+            # no [..., L, U(, F)]-minor buffer anywhere (those tile-pad up to
+            # 51x in HBM and were the material stage's backward memory wall).
             f = ct.shape[-1] // num_levels
-            ct_lf = ct.reshape(ct.shape[:-1] + (num_levels, f))
-            ct_pm = jnp.broadcast_to(
-                ct_lf[..., None, :, :] / m, x.shape[:-1] + (num_levels, f)
+            ct_flat = ct.reshape(-1, num_levels * f)  # [Pb, L*F]
+            ct_planes = ct_flat.T.reshape(num_levels, f, -1) / m  # [L, F, Pb]
+            if m > 1:
+                # One column per (point, multisample), m-minor - matching the
+                # x.reshape(-1, 3) flattening in the plane builder.
+                ct_planes = jnp.repeat(ct_planes, m, axis=-1)
+            d_tables, h_tables = _scatter_tables_from_planes(
+                x, x_scale, ct_planes, hash_tables, dense_pool,
+                grid_sizes, table_size, dense_offsets, interpolation,
             )
-        elif multisample_reduce == "concat":
+            dx, dxs = _encode_input_grads(
+                fwd_fn, x, hash_tables, dense_pool, x_scale, ct
+            )
+            return dx, h_tables, d_tables, dxs
+
+        # 'concat'/None keep per-multisample cotangents through the original
+        # corner-fastest packing.
+        if multisample_reduce == "concat":
             f = ct.shape[-1] // (num_levels * m)
             ct_lm = ct.reshape(ct.shape[:-1] + (num_levels, m, f))
             ct_pm = jnp.moveaxis(ct_lm, -2, -3)
@@ -460,28 +554,91 @@ def _make_encode_vjp(statics):
                 f=f_h,
             )
 
-        # Gradients w.r.t. x and x_scale: recompute the forward with the
-        # tables held constant - its XLA backward is scatter-free. Dead-code
-        # elimination removes this entirely when dx/dx_scale are unused.
-        sg = jax.lax.stop_gradient
-        if x_scale is None:
-            _, pull = jax.vjp(
-                lambda xx: fwd_fn(xx, sg(hash_tables), sg(dense_pool), None), x
-            )
-            (dx,) = pull(ct)
-            dxs = None
-        else:
-            _, pull = jax.vjp(
-                lambda xx, xs: fwd_fn(xx, sg(hash_tables), sg(dense_pool), xs),
-                x,
-                x_scale,
-            )
-            dx, dxs = pull(ct)
-
+        dx, dxs = _encode_input_grads(
+            fwd_fn, x, hash_tables, dense_pool, x_scale, ct
+        )
         return dx, h_tables, d_tables, dxs
 
     encode.defvjp(encode_fwd, encode_bwd)
     return encode
+
+
+def _encode_input_grads(fwd_fn, x, hash_tables, dense_pool, x_scale, ct):
+    """Gradients w.r.t. x and x_scale: recompute the forward with the tables
+    held constant - its XLA backward is scatter-free. Dead-code elimination
+    removes this entirely when dx/dx_scale are unused."""
+    sg = jax.lax.stop_gradient
+    if x_scale is None:
+        _, pull = jax.vjp(
+            lambda xx: fwd_fn(xx, sg(hash_tables), sg(dense_pool), None), x
+        )
+        (dx,) = pull(ct)
+        return dx, None
+    _, pull = jax.vjp(
+        lambda xx, xs: fwd_fn(xx, sg(hash_tables), sg(dense_pool), xs),
+        x,
+        x_scale,
+    )
+    dx, dxs = pull(ct)
+    return dx, dxs
+
+
+def _scatter_tables_from_planes(x, x_scale, ct_planes, hash_tables, dense_pool,
+                                grid_sizes, table_size, dense_offsets,
+                                interpolation):
+    """Table gradients via the plane-layout Pallas scatter.
+
+    ct_planes: [L, F, P_total] per-point cotangent feature planes.
+    Returns (d_tables [total_dense, F] | None, h_tables [Lh, T, F] | None).
+    """
+    from neural_radiance_caching_tpu.ops import scatter_tpu
+
+    grid_sizes_np = np.asarray(grid_sizes)
+    num_dense = len(dense_offsets)
+    num_hash = len(grid_sizes_np) - num_dense
+    corners_n = 8 if interpolation == "trilinear" else 4
+    tile_points = 2048
+
+    d_idx, d_w, h_idx, h_w = _tap_index_weight_planes(
+        x, x_scale, grid_sizes_np, table_size, dense_offsets, interpolation
+    )
+
+    p_total = (d_idx if d_idx is not None else h_idx).shape[-1]
+    pad_p = (-p_total) % tile_points
+
+    def padded(t):
+        # Padded updates carry zero weight and scatter into row 0.
+        return jnp.pad(t, ((0, 0), (0, 0), (0, pad_p))) if pad_p else t
+
+    def pack(planes):
+        if pad_p:
+            planes = jnp.pad(planes, ((0, 0), (0, 0), (0, pad_p)))
+        return _pack_ct_planes(planes)
+
+    d_tables = None
+    if num_dense:
+        f_d = dense_pool.shape[-1]
+        total = dense_pool.shape[0]
+        slots = scatter_tpu.LANES // f_d
+        pad_rows = (-total) % slots
+        per_level = scatter_tpu.scatter_add_weighted_planes(
+            padded(d_idx), padded(d_w), pack(ct_planes[:num_dense]),
+            num_rows=total + pad_rows, features=f_d, corners=corners_n,
+            tile_points=tile_points,
+        )
+        # Dense levels occupy disjoint row ranges of the flat pool (offsets
+        # folded into the indices), so the per-level results merge by sum.
+        d_tables = per_level.sum(axis=0)[:total]
+
+    h_tables = None
+    if num_hash:
+        f_h = hash_tables.shape[-1]
+        h_tables = scatter_tpu.scatter_add_weighted_planes(
+            padded(h_idx), padded(h_w), pack(ct_planes[num_dense:]),
+            num_rows=table_size, features=f_h, corners=corners_n,
+            tile_points=tile_points,
+        )
+    return d_tables, h_tables
 
 
 _ENCODE_VJP_CACHE = {}

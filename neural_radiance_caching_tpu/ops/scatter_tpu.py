@@ -295,3 +295,125 @@ def scatter_add_weighted_leveled(idx, w, ct_packed, *, num_rows, features,
     for o in outs[1:]:
         acc = acc + o
     return acc.reshape(levels, num_rows, features)
+
+
+def _scatter_weighted_planes_kernel(features, corners, banks, tile_points,
+                                    idx_ref, w_ref, cp_ref, *out_refs):
+    """Plane-indexed weighted scatter: update (p, u) adds w[u, p] * ct_row[p].
+
+    Same accumulation scheme as _scatter_weighted_kernel, but the index and
+    weight streams arrive as per-tap PLANES [U, tile_points] (point axis
+    minor) read straight from SMEM. This removes the corner-fastest
+    interleave the leveled variant required, whose XLA-side construction
+    (a [L, P, U] transpose) tiles with two tiny minor dims and pads up to
+    32x in HBM.
+
+    idx_ref: [1, U, tp] SMEM logical row indices.
+    w_ref:   [1, U, tp] SMEM f32 per-update interpolation weights.
+    cp_ref:  [tp * F / 128, 128] VMEM packed per-point cotangent rows.
+    out_refs: banks x [1, T*F/128, 128] packed accumulator windows.
+    """
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        for o in out_refs:
+            o[:] = jnp.zeros_like(o)
+
+    slots = LANES // features
+    packed_ct_rows = tile_points * features // LANES
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+    def body(r, _):
+        cp = cp_ref[r, :].reshape(1, LANES)
+        for sp in range(slots):
+            keep = (lane >= sp * features) & (lane < (sp + 1) * features)
+            gmask = jnp.where(keep, cp, 0.0)
+            p = r * slots + sp
+            for u in range(corners):
+                i = idx_ref[0, u, p]
+                b = i // slots
+                s = i - b * slots
+                groll = pltpu.roll(gmask, (s - sp) * features, 1)
+                out_refs[(sp * corners + u) % banks][0, b, :] += (
+                    w_ref[0, u, p] * groll[0]
+                )
+        return 0
+
+    jax.lax.fori_loop(0, packed_ct_rows, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_rows", "features", "corners", "banks", "tile_points",
+                     "interpret"),
+)
+def scatter_add_weighted_planes(idx, w, ct_packed, *, num_rows, features,
+                                corners, banks=4, tile_points=2048,
+                                interpret=False):
+    """Per-level weighted scatter-add from tap planes:
+        grads[l, idx[l, u, p]] += w[l, u, p] * ct[l, p]
+
+    Args:
+      idx: [L, U, P] int32 row indices (tap-major planes, point axis minor).
+      w:   [L, U, P] float32 per-update weights.
+      ct_packed: [L, P*features/128, 128] packed per-point cotangent rows
+        (build with hashgrid._pack_ct_planes - MXU interleave, no transpose).
+      num_rows/features/corners: table height, row width, taps per point.
+
+    Returns [L, num_rows, features] float32.
+    """
+    if LANES % features:
+        raise ValueError(f"features={features} must divide {LANES}")
+    slots = LANES // features
+    if num_rows % slots:
+        raise ValueError(f"num_rows={num_rows} must be a multiple of {slots}")
+    if tile_points % slots:
+        raise ValueError(f"tile_points={tile_points} must be a multiple of {slots}")
+    levels, taps, p = idx.shape
+    if taps != corners:
+        raise ValueError(f"idx taps {taps} != corners {corners}")
+    if p % tile_points:
+        raise ValueError(f"P={p} must be a multiple of tile_points={tile_points}")
+    packed_rows = num_rows * features // LANES
+    packed_ct_per_tile = tile_points * features // LANES
+    tiles = p // tile_points
+
+    cp_flat = ct_packed.reshape(-1, LANES)
+
+    kern = functools.partial(
+        _scatter_weighted_planes_kernel, features, corners, banks, tile_points
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=(levels, tiles),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((levels, packed_rows, LANES), jnp.float32)
+            for _ in range(banks)
+        ),
+        in_specs=[
+            pl.BlockSpec((1, taps, tile_points), lambda l, i: (l, 0, i),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, taps, tile_points), lambda l, i: (l, 0, i),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (packed_ct_per_tile, LANES),
+                lambda l, i, t=tiles: (l * t + i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((1, packed_rows, LANES), lambda l, i: (l, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(banks)
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 2**20,
+        ),
+        interpret=interpret,
+    )(idx.astype(jnp.int32), w.astype(jnp.float32), cp_flat)
+
+    acc = outs[0]
+    for o in outs[1:]:
+        acc = acc + o
+    return acc.reshape(levels, num_rows, features)

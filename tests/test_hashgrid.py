@@ -289,3 +289,142 @@ def test_layout_safe_encoder_matches_naive_all_modes():
                     rtol=1e-5, atol=1e-5,
                     err_msg=f"{interp}/{reduce}/xs={xs is not None}",
                 )
+
+
+def test_pack_ct_planes_interleaves_points():
+    from neural_radiance_caching_tpu.ops import scatter_tpu
+
+    key = jax.random.PRNGKey(5)
+    L, F, P = 3, 4, 256
+    planes = jax.random.normal(key, (L, F, P))
+    packed = hashgrid._pack_ct_planes(planes)
+    slots = scatter_tpu.LANES // F
+    want = (
+        jnp.moveaxis(planes, 1, -1)  # [L, P, F]
+        .reshape(L, P // slots, slots * F)
+    )
+    np.testing.assert_allclose(packed, want, atol=1e-6)
+
+
+def test_weighted_scatter_planes_matches_naive():
+    from neural_radiance_caching_tpu.ops import scatter_tpu
+
+    key = jax.random.PRNGKey(7)
+    L, U, P, T, F = 2, 4, 2048, 512, 4
+    k1, k2, k3 = jax.random.split(key, 3)
+    idx = jax.random.randint(k1, (L, U, P), 0, T, jnp.int32)
+    w = jax.random.normal(k2, (L, U, P))
+    ct = jax.random.normal(k3, (L, F, P))
+    out = scatter_tpu.scatter_add_weighted_planes(
+        idx, w, hashgrid._pack_ct_planes(ct), num_rows=T, features=F,
+        corners=U, tile_points=1024, interpret=True,
+    )
+    naive = jnp.zeros((L, T, F))
+    for l in range(L):
+        for u in range(U):
+            naive = naive.at[l].add(
+                jnp.zeros((T, F)).at[idx[l, u]].add(w[l, u, :, None] * ct[l].T)
+            )
+    np.testing.assert_allclose(out, naive, rtol=1e-5, atol=1e-5)
+
+
+def test_tap_planes_match_corner_indices():
+    """The backward's plane builder vs the original [..., L, U] builder."""
+    key = jax.random.PRNGKey(13)
+    grid_sizes = np.array([8, 16, 32, 64])
+    T = 4096
+    dense_offsets = (0, 512)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.uniform(k1, (11, 2, 3), minval=-0.2, maxval=1.2)
+    x_scale = jax.random.uniform(k2, (11, 2, 1), minval=1e-3, maxval=0.1)
+    for interp in ("trilinear", "simplex"):
+        for xs in (None, x_scale):
+            d_idx, d_w, h_idx, h_w = hashgrid._corner_indices_and_weights(
+                x, xs, grid_sizes, T, dense_offsets, interp
+            )
+            dp_idx, dp_w, hp_idx, hp_w = hashgrid._tap_index_weight_planes(
+                x, xs, grid_sizes, T, dense_offsets, interp
+            )
+            # Old: [..., L, U]; planes: [L, U, P_total] with P flattening
+            # (batch, M).
+            def to_planes(old):
+                # [b, m, L, U] -> [L, U, b*M+m]
+                a = np.asarray(old)
+                a = np.moveaxis(a, (-2, -1), (0, 1))  # [L, U, b, m]
+                return a.reshape(a.shape[0], a.shape[1], -1)
+
+            np.testing.assert_array_equal(
+                to_planes(d_idx), np.asarray(dp_idx),
+                err_msg=f"{interp} d_idx",
+            )
+            np.testing.assert_allclose(
+                to_planes(d_w), np.asarray(dp_w), rtol=1e-5, atol=1e-6,
+                err_msg=f"{interp} d_w",
+            )
+            np.testing.assert_array_equal(
+                to_planes(h_idx), np.asarray(hp_idx),
+                err_msg=f"{interp} h_idx",
+            )
+            np.testing.assert_allclose(
+                to_planes(h_w), np.asarray(hp_w), rtol=1e-5, atol=1e-6,
+                err_msg=f"{interp} h_w",
+            )
+
+
+def test_planes_backward_matches_xla_grads(monkeypatch):
+    """Full plane-layout table-gradient path (ct planes + /m + multisample
+    repeat + MXU packing + planes kernel) vs XLA autodiff of the encoder."""
+    import functools as ft
+
+    from neural_radiance_caching_tpu.ops import scatter_tpu
+
+    monkeypatch.setattr(
+        scatter_tpu, "scatter_add_weighted_planes",
+        ft.partial(scatter_tpu.scatter_add_weighted_planes, interpret=True),
+    )
+    key = jax.random.PRNGKey(21)
+    grid_sizes = (8, 16, 32, 64)
+    T, F = 4096, 4
+    dense_pool, hash_tables, dense_offsets, dense_mask = _setup_encoder(
+        key, np.asarray(grid_sizes), T, F
+    )
+    k1, k2 = jax.random.split(key)
+    x = jax.random.uniform(k1, (9, 3, 3), minval=-0.2, maxval=1.2)
+    x_scale = jax.random.uniform(k2, (9, 3, 1), minval=1e-3, maxval=0.1)
+
+    for interp in ("trilinear", "simplex"):
+        kwargs = dict(
+            grid_sizes=grid_sizes, table_size=T, dense_offsets=dense_offsets,
+            multisample_reduce="mean", interpolation=interp,
+        )
+
+        def loss_xla(ht, dp):
+            out = hashgrid._multires_grid_encode_xla(
+                x, ht, dp, x_scale=x_scale, **kwargs
+            )
+            return (out * jnp.cos(jnp.arange(out.size).reshape(out.shape))).sum()
+
+        want_h, want_d = jax.grad(loss_xla, argnums=(0, 1))(
+            hash_tables, dense_pool
+        )
+
+        out = hashgrid._multires_grid_encode_xla(
+            x, hash_tables, dense_pool, x_scale=x_scale, **kwargs
+        )
+        ct = jnp.cos(jnp.arange(out.size).reshape(out.shape))
+        m = x.shape[-2]
+        num_levels = len(grid_sizes)
+        ct_flat = ct.reshape(-1, num_levels * F)
+        ct_planes = ct_flat.T.reshape(num_levels, F, -1) / m
+        ct_planes = jnp.repeat(ct_planes, m, axis=-1)
+        got_d, got_h = hashgrid._scatter_tables_from_planes(
+            x, x_scale, ct_planes, hash_tables, dense_pool,
+            grid_sizes, T, dense_offsets, interp,
+        )
+        np.testing.assert_allclose(
+            got_h, want_h.reshape(got_h.shape), rtol=1e-4, atol=1e-4,
+            err_msg=f"{interp} hash",
+        )
+        np.testing.assert_allclose(
+            got_d, want_d, rtol=1e-4, atol=1e-4, err_msg=f"{interp} dense",
+        )
