@@ -55,6 +55,11 @@ TRANSIENT_BENCH_STEPS = 10
 # the runs that produced them. Update alongside any re-measurement.
 MEASURED_ANCHORS = {
     "cpu_anchor_speedup_cache_stage": 15.8,      # r2: 148.5 vs 9.4 rays/s, same arch/host
+    # r3: material_light_from_scratch_resample step, batch 32, same host CPU,
+    # same architecture (51.4M params both sides): ours 12.10 rays/s vs the
+    # reference's 0.087 (reference_cpu_bench.py --stage material
+    # --layout reference).
+    "cpu_anchor_speedup_material_stage": 138.7,
     "layout_ab_speedup_range": [6.9, 12.6],      # r2: flagship vs reference layout, on-chip
 }
 

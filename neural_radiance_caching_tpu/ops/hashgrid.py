@@ -427,6 +427,9 @@ def _pack_ct_planes(ct_lfp):
         contrib = jax.lax.dot_general(
             xq, jnp.asarray(sel[fi]),
             dimension_numbers=(((2,), (0,)), ((), ())),
+            # HIGHEST: the default TPU matmul precision casts operands to
+            # bf16, which would round every cotangent to 8 mantissa bits.
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
         out = contrib if out is None else out + contrib

@@ -1,0 +1,167 @@
+"""On-chip TRANSIENT (InvProp) cache-stage convergence check.
+
+Trains the flagship time-binned transient cache (bench.py's
+transient_stage architecture: active+indirect shader, learnable light,
+n_bins time bins) on the procedural transient spheres scene — whose
+ground-truth transients are binned analytically by the dataset at the
+camera->surface->light path length (data/datasets.py::_bin_transient,
+the same convention as ops/render.shift_direct) — and reports:
+
+  * transient IoU (sum-min over sum-max of the time-resolved response,
+    reference trainer.py:1626-1647),
+  * integrated PSNR (transient summed over bins vs gt summed over bins),
+  * peak-bin mean absolute error in bins (did the pulse land at the
+    right time-of-flight).
+
+Usage: python scripts/transient_convergence_check.py [steps] [--bins N]
+Reference surface being matched: internal/render.py:250-507
+(volumetric_transient_rendering) trained through the transient sim
+configs (configs/transient_simulation_ngp_yobo_cornell.gin budgets).
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import dataclasses
+
+import jax
+import numpy as np
+
+import bench
+from neural_radiance_caching_tpu.data import datasets
+from neural_radiance_caching_tpu.engine import renderer
+from neural_radiance_caching_tpu.parallel import mesh as mesh_lib
+from neural_radiance_caching_tpu.parallel import train as train_lib
+from neural_radiance_caching_tpu.utils import pytrees
+
+_flag_values = {
+    sys.argv[i + 1]
+    for i, a in enumerate(sys.argv)
+    if a.startswith("--") and i + 1 < len(sys.argv)
+}
+_args = [
+    a for a in sys.argv[1:]
+    if not a.startswith("--") and a not in _flag_values
+]
+STEPS = int(_args[0]) if _args else 1500
+N_BINS = (
+    int(sys.argv[sys.argv.index("--bins") + 1]) if "--bins" in sys.argv else 700
+)
+RES = (
+    int(sys.argv[sys.argv.index("--res") + 1]) if "--res" in sys.argv else 64
+)
+BATCH = (
+    int(sys.argv[sys.argv.index("--batch") + 1])
+    if "--batch" in sys.argv
+    else 2048
+)
+
+
+def make_config(**overrides):
+    base = dict(
+        dataset_loader="synthetic_spheres",
+        batch_size=BATCH,
+        near=2.0,
+        far=6.0,
+        max_steps=STEPS,
+        lr_init=0.01,
+        lr_final=0.001,
+        lr_delay_steps=min(500, STEPS // 4),
+        lr_delay_mult=1e-8,
+        adam_eps=1e-15,
+        use_transient=True,
+        n_bins=N_BINS,
+        exposure_time=14.0 / N_BINS,  # bins span the full path-length range
+        learnable_light=True,
+        light_source_position=[0.0, 0.0, 1.0],
+        data_loss_type="rawnerf_transient_unbiased",
+        linear_to_srgb=False,
+        mask_lossmult=False,
+        interlevel_loss_mults=(0.01, 0.01),
+        interlevel_loss_blurs=(0.03, 0.003),
+        distortion_loss_mult=0.01,
+        predicted_normal_loss_mult=0.05,
+        predicted_normal_reverse_loss_mult=0.05,
+        render_chunk_size=512,
+    )
+    base.update(overrides)
+    from neural_radiance_caching_tpu.engine.configs import Config
+
+    return Config(**base)
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    config = make_config()
+    train_ds = datasets.SyntheticSpheres(
+        "train", None, config, num_images=8, resolution=RES
+    )
+    model = bench.build_flagship_transient_cache_model(config)
+
+    import functools
+
+    mesh = mesh_lib.create_mesh()
+    variables = jax.jit(
+        functools.partial(model.init, train_frac=1.0, train=False)
+    )(jax.random.PRNGKey(0), jax.random.PRNGKey(1), pytrees.dummy_rays(16))
+    state, _ = train_lib.create_optimizer(config, variables)
+    state = mesh_lib.replicate(state, mesh)
+    train_step = train_lib.create_train_step(model, config, mesh=mesh)
+    batcher = mesh_lib.DevicePrefetcher(datasets.RayBatcher(train_ds), mesh)
+    rng = jax.random.PRNGKey(3)
+
+    print(f"[transient cache] {STEPS} steps @ batch {BATCH}, "
+          f"{N_BINS} bins", flush=True)
+    t0 = time.time()
+    for step in range(STEPS):
+        batch = next(batcher)
+        train_frac = step / max(1, STEPS - 1)
+        state, stats = train_step(rng, state, batch, train_frac)
+        if step % 100 == 0:
+            print(f"  step {step}/{STEPS} loss={float(stats['loss']):.5f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    batcher.stop()
+
+    test_ds = datasets.SyntheticSpheres(
+        "test", None, config, num_images=2, resolution=RES
+    )
+    render_fn = train_lib.create_render_fn(model, mesh=mesh)
+    batch = test_ds.generate_ray_batch(0)
+    rendering = renderer.render_image(
+        render_fn, state.params, batch.rays, jax.random.PRNGKey(7), config,
+        height=RES, width=RES, train_frac=1.0,
+    )
+    pred_t = np.nan_to_num(np.asarray(rendering["rgb"])).reshape(
+        RES * RES, N_BINS, 3
+    )
+    gt_t = np.asarray(batch.rgb).reshape(RES * RES, N_BINS, 3)
+
+    inter = np.minimum(pred_t, gt_t).sum()
+    union = np.maximum(pred_t, gt_t).sum()
+    iou = inter / max(union, 1e-12)
+
+    pred_i = np.clip(pred_t.sum(axis=1), 0.0, None)
+    gt_i = gt_t.sum(axis=1)
+    scale = max(gt_i.max(), 1e-6)
+    mse = np.mean((pred_i / scale - gt_i / scale) ** 2)
+    int_psnr = -10 * np.log10(mse + 1e-12)
+
+    # Time-of-flight accuracy: peak-bin error on pixels with signal.
+    mask = gt_t.sum(axis=(1, 2)) > 1e-4
+    peak_err = float("nan")
+    if mask.any():
+        p_peak = pred_t.sum(-1)[mask].argmax(axis=1)
+        g_peak = gt_t.sum(-1)[mask].argmax(axis=1)
+        peak_err = float(np.abs(p_peak - g_peak).mean())
+
+    print(
+        f"RESULT transient_iou={iou:.4f} integrated_psnr={int_psnr:.2f} "
+        f"peak_bin_mae={peak_err:.2f} bins={N_BINS} steps={STEPS}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
