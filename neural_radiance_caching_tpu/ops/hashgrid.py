@@ -469,11 +469,19 @@ def _make_encode_vjp(statics):
         num_dense = len(dense_offsets)
         num_hash = num_levels - num_dense
         m = x.shape[-2]
+        p_total = int(np.prod(x.shape[:-1], dtype=np.int64))
 
-        if multisample_reduce == "mean":
+        if multisample_reduce == "mean" and p_total >= _PLANES_MIN_POINTS:
             # Layout-safe path: tap planes [L, U, P] + matmul-packed ct rows,
             # no [..., L, U(, F)]-minor buffer anywhere (those tile-pad up to
             # 51x in HBM and were the material stage's backward memory wall).
+            # Selected only at large fan-outs (secondary-ray batches): at
+            # primary-ray point counts the leveled kernel is ~2x faster per
+            # update and its corner-fastest prep buffers are small, while in
+            # full train-step programs (model + optimizer) the planes kernel
+            # currently faults the TPU runtime at primary-ray scale (r3
+            # bisect: standalone/gradonly pass, any optimizer-bearing program
+            # crashes; threshold documented in BASELINE.md).
             f = ct.shape[-1] // num_levels
             ct_flat = ct.reshape(-1, num_levels * f)  # [Pb, L*F]
             ct_planes = ct_flat.T.reshape(num_levels, f, -1) / m  # [L, F, Pb]
@@ -490,9 +498,15 @@ def _make_encode_vjp(statics):
             )
             return dx, h_tables, d_tables, dxs
 
-        # 'concat'/None keep per-multisample cotangents through the original
-        # corner-fastest packing.
-        if multisample_reduce == "concat":
+        # 'mean' (small fan-out) and 'concat' run the leveled kernel with
+        # per-(point, multisample) cotangents through corner-fastest packing.
+        if multisample_reduce == "mean":
+            f = ct.shape[-1] // num_levels
+            ct_lf = ct.reshape(ct.shape[:-1] + (num_levels, f))
+            ct_pm = jnp.broadcast_to(
+                ct_lf[..., None, :, :] / m, x.shape[:-1] + (num_levels, f)
+            )
+        elif multisample_reduce == "concat":
             f = ct.shape[-1] // (num_levels * m)
             ct_lm = ct.reshape(ct.shape[:-1] + (num_levels, m, f))
             ct_pm = jnp.moveaxis(ct_lm, -2, -3)
@@ -645,6 +659,17 @@ def _scatter_tables_from_planes(x, x_scale, ct_planes, hash_tables, dense_pool,
 
 
 _ENCODE_VJP_CACHE = {}
+
+# Point-count threshold above which the 'mean' backward takes the plane-layout
+# scatter (memory-safe at secondary-ray fan-outs) instead of the leveled
+# kernel (faster per update at primary-ray scale; see encode_bwd).
+_PLANES_MIN_POINTS = 1 << 20
+
+
+def set_planes_min_points(value: int) -> None:
+    """Override the planes-vs-leveled backward switchover point count."""
+    global _PLANES_MIN_POINTS
+    _PLANES_MIN_POINTS = int(value)
 
 # When True, multires_grid_encode always takes the pure-XLA path even on a
 # process whose default backend is TPU. Needed when a computation is staged
