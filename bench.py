@@ -395,6 +395,12 @@ def bench_train_steps(model, config, dataset, n_steps, batch_size):
 def main():
     import sys
 
+    if "--stage" in sys.argv:
+        # Selective single-stage run (debug/re-measurement); the driver's
+        # default `python bench.py` line stays the full three-stage metric.
+        stage = sys.argv[sys.argv.index("--stage") + 1]
+        _main_default(only=stage)
+        return
     if "--ab-layout" in sys.argv:
         # A/B: the reference's grids-on-all-levels layout, cache stage only.
         # Separate invocation so the driver's default `python bench.py` line
@@ -441,16 +447,28 @@ def _cache_config():
     return config
 
 
-def _main_default():
+def _main_default(only=None):
     config = _cache_config()
-    dataset = datasets.SyntheticSpheres("train", None, config, num_images=8, resolution=128)
-
-    dt, cache_detail = bench_train_steps(
-        build_flagship_cache_model(config), config, dataset,
-        BENCH_STEPS, BATCH_SIZE,
-    )
-    cache_detail["samples_per_ray"] = 160
-    rays_per_sec = BATCH_SIZE / dt
+    rays_per_sec = None
+    cache_detail = {}
+    if only in (None, "cache"):
+        dataset = datasets.SyntheticSpheres(
+            "train", None, config, num_images=8, resolution=128
+        )
+        dt, cache_detail = bench_train_steps(
+            build_flagship_cache_model(config), config, dataset,
+            BENCH_STEPS, BATCH_SIZE,
+        )
+        cache_detail["samples_per_ray"] = 160
+        rays_per_sec = BATCH_SIZE / dt
+        if only == "cache":
+            print(json.dumps({
+                "metric": "train_rays_per_sec_cache_stage",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/sec/chip",
+                "detail": cache_detail,
+            }))
+            return
 
     # Material stage (the expensive half of the north-star metric).
     import dataclasses
@@ -467,15 +485,26 @@ def _main_default():
         predicted_normal_loss_mult=0.0,
         predicted_normal_reverse_loss_mult=0.0,
     )
-    mat_dataset = datasets.SyntheticSpheres(
-        "train", None, mat_config, num_images=8, resolution=128
-    )
-    mat_dt, mat_detail = bench_train_steps(
-        build_flagship_material_model(mat_config), mat_config, mat_dataset,
-        MATERIAL_BENCH_STEPS, MATERIAL_BATCH_SIZE,
-    )
-    mat_detail["secondary_samples_per_ray"] = 32
-    mat_rays_per_sec = MATERIAL_BATCH_SIZE / mat_dt
+    mat_rays_per_sec = None
+    mat_detail = {}
+    if only in (None, "material"):
+        mat_dataset = datasets.SyntheticSpheres(
+            "train", None, mat_config, num_images=8, resolution=128
+        )
+        mat_dt, mat_detail = bench_train_steps(
+            build_flagship_material_model(mat_config), mat_config, mat_dataset,
+            MATERIAL_BENCH_STEPS, MATERIAL_BATCH_SIZE,
+        )
+        mat_detail["secondary_samples_per_ray"] = 32
+        mat_rays_per_sec = MATERIAL_BATCH_SIZE / mat_dt
+        if only == "material":
+            print(json.dumps({
+                "metric": "train_rays_per_sec_material_stage",
+                "value": round(mat_rays_per_sec, 1),
+                "unit": "rays/sec/chip",
+                "detail": mat_detail,
+            }))
+            return
 
     # Transient (InvProp) cache stage: time-binned rendering on the chip.
     tr_config = dataclasses.replace(
@@ -493,17 +522,28 @@ def _main_default():
         data_loss_type="rawnerf_transient_unbiased",
         linear_to_srgb=False,
     )
-    # Lower res/image count: with 700 bins each image's flattened target is
-    # res^2 x 700 x 3 floats; 4x64^2 keeps the host-side set at ~140MB.
-    tr_dataset = datasets.SyntheticSpheres(
-        "train", None, tr_config, num_images=4, resolution=64
-    )
-    tr_dt, tr_detail = bench_train_steps(
-        build_flagship_transient_cache_model(tr_config), tr_config, tr_dataset,
-        TRANSIENT_BENCH_STEPS, TRANSIENT_BATCH_SIZE,
-    )
-    tr_detail["n_bins"] = TRANSIENT_N_BINS
-    tr_rays_per_sec = TRANSIENT_BATCH_SIZE / tr_dt
+    tr_rays_per_sec = None
+    tr_detail = {}
+    if only in (None, "transient"):
+        # Lower res/image count: with 700 bins each image's flattened target
+        # is res^2 x 700 x 3 floats; 4x64^2 keeps the host-side set at ~140MB.
+        tr_dataset = datasets.SyntheticSpheres(
+            "train", None, tr_config, num_images=4, resolution=64
+        )
+        tr_dt, tr_detail = bench_train_steps(
+            build_flagship_transient_cache_model(tr_config), tr_config,
+            tr_dataset, TRANSIENT_BENCH_STEPS, TRANSIENT_BATCH_SIZE,
+        )
+        tr_detail["n_bins"] = TRANSIENT_N_BINS
+        tr_rays_per_sec = TRANSIENT_BATCH_SIZE / tr_dt
+        if only == "transient":
+            print(json.dumps({
+                "metric": "train_rays_per_sec_transient_stage",
+                "value": round(tr_rays_per_sec, 1),
+                "unit": "rays/sec/chip",
+                "detail": tr_detail,
+            }))
+            return
 
     result = {
         "metric": "train_rays_per_sec_cache_stage",

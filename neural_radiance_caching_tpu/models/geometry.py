@@ -168,7 +168,14 @@ class BaseDensityMLP(nn.Module):
             lifted_means, lifted_vars = coord.lift_and_diagonalize(means, covs, self.pos_basis_t)
             x.append(
                 coord.integrated_pos_enc(
-                    lifted_means, lifted_vars, self.min_deg_point, self.max_deg_point
+                    lifted_means, lifted_vars, self.min_deg_point,
+                    self.max_deg_point,
+                    # The trunk matmul casts operands to bf16 anyway; running
+                    # the IPE lift in bf16 moves that cast before the huge
+                    # [..., n_dims * n_freqs] intermediates (one f32
+                    # scaled-mean buffer at the material stage's secondary
+                    # fan-out is ~2GB).
+                    dtype=jnp.bfloat16 if self.use_bf16_compute else None,
                 )
             )
         return jnp.concatenate(x, axis=-1)

@@ -222,9 +222,20 @@ def expected_sin(mean, var):
     return jnp.exp(-0.5 * var) * math.safe_sin(mean)
 
 
-def integrated_pos_enc(mean, var, min_deg, max_deg):
-    """IPE: expected sinusoids of a Gaussian at scales 2^[min_deg, max_deg)."""
-    scales = 2.0 ** jnp.arange(min_deg, max_deg)
+def integrated_pos_enc(mean, var, min_deg, max_deg, dtype=None):
+    """IPE: expected sinusoids of a Gaussian at scales 2^[min_deg, max_deg).
+
+    dtype: optional compute/output dtype (e.g. bfloat16). Casting BEFORE the
+    frequency lift keeps every [..., n_dims * n_freqs] intermediate at half
+    width — at secondary-ray fan-outs one f32 scaled-mean buffer alone is
+    ~2GB — and loses nothing downstream when the consuming trunk matmul runs
+    in bf16 anyway. High-frequency phase error is damped by the exp(-var/2)
+    mip weight.
+    """
+    if dtype is not None:
+        mean = mean.astype(dtype)
+        var = var.astype(dtype)
+    scales = 2.0 ** jnp.arange(min_deg, max_deg, dtype=mean.dtype)
     shape = mean.shape[:-1] + (-1,)
     scaled_mean = jnp.reshape(mean[..., None, :] * scales[:, None], shape)
     scaled_var = jnp.reshape(var[..., None, :] * scales[:, None] ** 2, shape)
