@@ -436,6 +436,15 @@ def _pack_ct_planes(ct_lfp):
     return out  # [L, q, LANES]
 
 
+def _dense_level_heights(dense_offsets, total):
+    """Static per-level row counts of the flat dense pool."""
+    return [
+        (dense_offsets[li + 1] if li + 1 < len(dense_offsets) else total)
+        - dense_offsets[li]
+        for li in range(len(dense_offsets))
+    ]
+
+
 def _make_encode_vjp(statics):
     """custom_vjp wrapper: XLA gathers forward, Pallas scatter backward."""
     from neural_radiance_caching_tpu.ops import scatter_tpu
@@ -543,7 +552,48 @@ def _make_encode_vjp(statics):
             )
 
         d_tables = None
-        if num_dense:
+        h_tables = None
+        merged = (
+            num_dense and num_hash
+            and dense_pool.shape[-1] == hash_tables.shape[-1]
+        )
+        if merged:
+            # ONE kernel instance over dense + hash levels: dense levels use
+            # LOCAL row indices (pool offsets subtracted) and scatter into
+            # full-height per-level accumulators (the dense rule size^3 <=
+            # table_size guarantees every dense level fits), sliced back to
+            # their true heights afterwards. Halves the Pallas instance count
+            # per encoder (the grids-on-all-levels layout compiled 8 scatter
+            # instances into one backward, which crashed the TPU compile
+            # service at batch >= 4096 — BASELINE.md round-2).
+            f_all = hash_tables.shape[-1]
+            heights = _dense_level_heights(dense_offsets, dense_pool.shape[0])
+            slots = scatter_tpu.LANES // f_all
+            num_rows = max(table_size, max(heights))
+            num_rows += (-num_rows) % slots
+            offs = jnp.asarray(dense_offsets, d_idx.dtype)
+            idx_all = jnp.concatenate([
+                jnp.moveaxis(d_idx - offs[:, None], -2, 0).reshape(
+                    num_dense, -1
+                ),
+                jnp.moveaxis(h_idx, -2, 0).reshape(num_hash, -1),
+            ])
+            w_all = jnp.concatenate([
+                jnp.moveaxis(d_w, -2, 0).reshape(num_dense, -1),
+                jnp.moveaxis(h_w, -2, 0).reshape(num_hash, -1),
+            ])
+            out = weighted_scatter(
+                idx_all,
+                w_all,
+                jnp.moveaxis(ct_pm, -2, 0).reshape(num_levels, -1, f_all),
+                num_rows=num_rows,
+                f=f_all,
+            )
+            d_tables = jnp.concatenate(
+                [out[li, : heights[li]] for li in range(num_dense)], axis=0
+            )
+            h_tables = out[num_dense:, :table_size]
+        if num_dense and not merged:
             f_d = dense_pool.shape[-1]
             total = dense_pool.shape[0]
             slots = scatter_tpu.LANES // f_d
@@ -557,9 +607,7 @@ def _make_encode_vjp(statics):
                 num_rows=total + pad_rows,
                 f=f_d,
             )[0][:total]
-
-        h_tables = None
-        if num_hash:
+        if num_hash and not merged:
             f_h = hash_tables.shape[-1]
             h_tables = weighted_scatter(
                 jnp.moveaxis(h_idx, -2, 0).reshape(num_hash, -1),
@@ -633,6 +681,34 @@ def _scatter_tables_from_planes(x, x_scale, ct_planes, hash_tables, dense_pool,
         return _pack_ct_planes(planes)
 
     d_tables = None
+    h_tables = None
+    merged = (
+        num_dense and num_hash
+        and dense_pool.shape[-1] == hash_tables.shape[-1]
+    )
+    if merged:
+        # ONE kernel instance over all levels (see encode_bwd): dense levels
+        # use local indices into full-height accumulators, sliced back after.
+        f_all = hash_tables.shape[-1]
+        heights = _dense_level_heights(dense_offsets, dense_pool.shape[0])
+        slots = scatter_tpu.LANES // f_all
+        num_rows = max(table_size, max(heights))
+        num_rows += (-num_rows) % slots
+        offs = jnp.asarray(dense_offsets, d_idx.dtype)
+        out = scatter_tpu.scatter_add_weighted_planes(
+            jnp.concatenate([padded(d_idx - offs[:, None, None]),
+                             padded(h_idx)]),
+            jnp.concatenate([padded(d_w), padded(h_w)]),
+            pack(ct_planes),
+            num_rows=num_rows, features=f_all, corners=corners_n,
+            tile_points=tile_points,
+        )
+        d_tables = jnp.concatenate(
+            [out[li, : heights[li]] for li in range(num_dense)], axis=0
+        )
+        h_tables = out[num_dense:, :table_size]
+        return d_tables, h_tables
+
     if num_dense:
         f_d = dense_pool.shape[-1]
         total = dense_pool.shape[0]
@@ -647,7 +723,6 @@ def _scatter_tables_from_planes(x, x_scale, ct_planes, hash_tables, dense_pool,
         # folded into the indices), so the per-level results merge by sum.
         d_tables = per_level.sum(axis=0)[:total]
 
-    h_tables = None
     if num_hash:
         f_h = hash_tables.shape[-1]
         h_tables = scatter_tpu.scatter_add_weighted_planes(

@@ -371,6 +371,65 @@ def test_tap_planes_match_corner_indices():
             )
 
 
+def test_merged_leveled_backward_matches_xla_grads(monkeypatch):
+    """encode_bwd's MERGED dense+hash kernel call (one scatter instance per
+    encoder: local dense indices, full-height accumulators, sliced back)
+    vs XLA autodiff, across interpolations and both leveled reductions."""
+    import functools as ft
+
+    from neural_radiance_caching_tpu.ops import scatter_tpu
+
+    monkeypatch.setattr(
+        scatter_tpu, "scatter_add_weighted_leveled",
+        ft.partial(scatter_tpu.scatter_add_weighted_leveled, interpret=True),
+    )
+    key = jax.random.PRNGKey(23)
+    grid_sizes = (8, 16, 32, 64)
+    T, F = 4096, 4
+    dense_pool, hash_tables, dense_offsets, dense_mask = _setup_encoder(
+        key, np.asarray(grid_sizes), T, F
+    )
+    assert dense_mask.tolist() == [True, True, False, False]
+    k1, k2 = jax.random.split(key)
+    x = jax.random.uniform(k1, (9, 3, 3), minval=-0.2, maxval=1.2)
+    x_scale = jax.random.uniform(k2, (9, 3, 1), minval=1e-3, maxval=0.1)
+
+    for interp in ("trilinear", "simplex"):
+        for reduce in ("mean", "concat"):
+            encode = hashgrid._make_encode_vjp(
+                (grid_sizes, T, dense_offsets, reduce, interp)
+            )
+
+            def xla_encode(x_, ht, dp, xs, _r=reduce, _i=interp):
+                return hashgrid._multires_grid_encode_xla(
+                    x_, ht, dp, grid_sizes=grid_sizes, table_size=T,
+                    dense_offsets=dense_offsets, x_scale=xs,
+                    multisample_reduce=_r, interpolation=_i,
+                )
+
+            def make_loss(fn):
+                def loss(ht, dp):
+                    out = fn(x, ht, dp, x_scale)
+                    probe = jnp.cos(jnp.arange(out.size).reshape(out.shape))
+                    return (out * probe).sum()
+                return loss
+
+            want_h, want_d = jax.grad(make_loss(xla_encode), argnums=(0, 1))(
+                hash_tables, dense_pool
+            )
+            got_h, got_d = jax.grad(make_loss(encode), argnums=(0, 1))(
+                hash_tables, dense_pool
+            )
+            np.testing.assert_allclose(
+                got_h, want_h, rtol=1e-4, atol=1e-4,
+                err_msg=f"{interp}/{reduce} hash",
+            )
+            np.testing.assert_allclose(
+                got_d, want_d, rtol=1e-4, atol=1e-4,
+                err_msg=f"{interp}/{reduce} dense",
+            )
+
+
 def test_planes_backward_matches_xla_grads(monkeypatch):
     """Full plane-layout table-gradient path (ct planes + /m + multisample
     repeat + MXU packing + planes kernel) vs XLA autodiff of the encoder."""
