@@ -293,6 +293,24 @@ def build_flagship_transient_cache_model(config):
     return TransientNeRFModel(config=config, **cache_params)
 
 
+def build_reference_layout_transient_cache_model(config):
+    """TRANSIENT cache stage over the reference's own grids-on-all-levels
+    layout (the architecture the reference trains under
+    configs/transient_simulation_ngp_yobo_cornell.gin stage 'cache') — used
+    by benchmarks/reference_cpu_bench.py for the same-architecture transient
+    anchor."""
+    cache_params = reference_layout_cache_params(config)
+    shader = dict(cache_params["shader_params"])
+    shader.update(
+        # cornell gin:32-35: active+indirect, no ambient.
+        use_active=True, use_indirect=True, use_ambient=False,
+        net_depth_irradiance=2, net_width_irradiance=64,
+    )
+    cache_params["shader_params"] = shader
+    cache_params["resample_secondary"] = False
+    return TransientNeRFModel(config=config, **cache_params)
+
+
 def build_reference_layout_material_model(config):
     """Material stage over the reference's own grids-on-all-levels cache
     layout (same architecture/params as the reference's MaterialModel under

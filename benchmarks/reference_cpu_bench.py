@@ -12,6 +12,7 @@ in benchmarks/ref_shims.
 
 Usage:  python benchmarks/reference_cpu_bench.py [--batch 1024] [--steps 5]
         python benchmarks/reference_cpu_bench.py --stage material --batch 32 --steps 2
+        python benchmarks/reference_cpu_bench.py --stage transient --batch 128 --bins 128 --steps 2
 Prints one JSON line:
   {"ref_rays_per_sec": ..., "ours_rays_per_sec": ..., "speedup_cpu": ...}
 
@@ -45,9 +46,16 @@ if not hasattr(np, "math"):
 # The blender-family flagship: includes ngp_yobo.gin and binds the
 # contraction warp_fns the model code requires at call time.
 REF_CONFIG = "/root/reference/configs/nerf_ngp_yobo.gin"
+# The InvProp transient flagship (time-binned rendering, active+indirect
+# shading, learnable light) — the cornell budget (n_bins=700 at
+# exposure_time=0.01; the harness rescales exposure to keep bin coverage
+# when --bins lowers the bin count for CPU tractability).
+REF_TRANSIENT_CONFIG = (
+    "/root/reference/configs/transient_simulation_ngp_yobo_cornell.gin"
+)
 
 
-def build_reference(batch_size, stage="cache"):
+def build_reference(batch_size, stage="cache", n_bins=700):
     """Construct the reference MaterialModel + pmapped train step from its
     own flagship gin config. stage='cache' binds the trainer's 'cache' stage
     table (material/light heads off); stage='material' binds the
@@ -82,6 +90,18 @@ def build_reference(batch_size, stage="cache"):
             "MaterialModel.use_material = False",
             "MaterialModel.use_light_sampler = False",
         ]
+    elif stage == "transient":
+        # Transient (InvProp) cache stage: the cornell config's model family
+        # (TransientMaterialModel via Config.use_transient) with the 'cache'
+        # stage heads off, bin count from --bins (exposure rescaled to keep
+        # the same time coverage as 700 x 0.01 over the cornell near/far).
+        stage_bindings = [
+            "Config.use_gradient_debias = False",
+            "TransientMaterialModel.use_material = False",
+            "TransientMaterialModel.use_light_sampler = False",
+            f"Config.n_bins = {n_bins}",
+            f"Config.exposure_time = {14.0 / n_bins}",
+        ]
     else:
         # material_light_from_scratch_resample as the reference Trainer
         # would bind it (trainer.gin stage table x sample_factor=8 from the
@@ -101,7 +121,8 @@ def build_reference(batch_size, stage="cache"):
             "MaterialMLP.render_num_secondary_samples_diff = 32",
         ]
     gin.clear_config()
-    gin.parse_config_files_and_bindings(config_files=[REF_CONFIG], bindings=[
+    config_file = REF_TRANSIENT_CONFIG if stage == "transient" else REF_CONFIG
+    gin.parse_config_files_and_bindings(config_files=[config_file], bindings=[
         f"Config.batch_size = {batch_size}",
         "Config.cast_rays_in_train_step = False",
         "Config.near = 2.0",
@@ -167,13 +188,22 @@ def build_reference(batch_size, stage="cache"):
     return model, state, train_pstep, config, ref_utils
 
 
-def spheres_batch_for_reference(batch_size, ref_utils):
-    """Map our procedural spheres batch onto the reference's Rays/Batch."""
+def spheres_batch_for_reference(batch_size, ref_utils, n_bins=None):
+    """Map our procedural spheres batch onto the reference's Rays/Batch.
+
+    With n_bins set, the dataset produces time-binned transient targets
+    ([N, n_bins, 3], data/datasets.py::_bin_transient) at an exposure that
+    covers the scene's two-bounce path-length range."""
     from neural_radiance_caching_tpu.data import datasets as our_datasets
     from neural_radiance_caching_tpu.engine.configs import Config as OurConfig
 
+    transient_kwargs = (
+        dict(use_transient=True, n_bins=n_bins,
+             exposure_time=14.0 / n_bins, linear_to_srgb=False)
+        if n_bins else {}
+    )
     oc = OurConfig(dataset_loader="synthetic_spheres", batch_size=batch_size,
-                   near=2.0, far=6.0)
+                   near=2.0, far=6.0, **transient_kwargs)
     ds = our_datasets.SyntheticSpheres("train", None, oc, num_images=4,
                                        resolution=64)
     b = ds.next_train()
@@ -193,13 +223,15 @@ def spheres_batch_for_reference(batch_size, ref_utils):
     return ref_utils.Batch(rays=rays, rgb=b.rgb, masks=b.masks)
 
 
-def run_reference(batch_size, steps, stage="cache"):
+def run_reference(batch_size, steps, stage="cache", n_bins=700):
     from flax import jax_utils
 
     model, state, train_pstep, config, ref_utils = build_reference(
-        batch_size, stage=stage
+        batch_size, stage=stage, n_bins=n_bins
     )
-    batch = spheres_batch_for_reference(batch_size, ref_utils)
+    batch = spheres_batch_for_reference(
+        batch_size, ref_utils, n_bins=n_bins if stage == "transient" else None
+    )
     sharded = jax.tree_util.tree_map(
         lambda x: ref_utils.shard(x) if x is not None else None, batch,
         is_leaf=lambda x: x is None,
@@ -228,7 +260,7 @@ def run_reference(batch_size, steps, stage="cache"):
     }
 
 
-def run_ours(batch_size, steps, layout="flagship", stage="cache"):
+def run_ours(batch_size, steps, layout="flagship", stage="cache", n_bins=700):
     import bench
     from neural_radiance_caching_tpu.data import datasets as our_datasets
     from neural_radiance_caching_tpu.engine.configs import Config as OurConfig
@@ -257,6 +289,18 @@ def run_ours(batch_size, steps, layout="flagship", stage="cache"):
             predicted_normal_loss_mult=0.0,
             predicted_normal_reverse_loss_mult=0.0,
         )
+    elif stage == "transient":
+        import dataclasses
+
+        # Mirrors bench.py's transient_stage config (the cornell budget)
+        # with the bin count matched to the reference side.
+        config = dataclasses.replace(
+            config, use_transient=True, n_bins=n_bins,
+            exposure_time=14.0 / n_bins, learnable_light=True,
+            light_source_position=[0.0, 0.0, 1.0],
+            data_loss_type="rawnerf_transient_unbiased",
+            linear_to_srgb=False,
+        )
     ds = our_datasets.SyntheticSpheres("train", None, config, num_images=4,
                                        resolution=64)
     if stage == "material":
@@ -264,6 +308,12 @@ def run_ours(batch_size, steps, layout="flagship", stage="cache"):
             bench.build_reference_layout_material_model(config)
             if layout == "reference"
             else bench.build_flagship_material_model(config)
+        )
+    elif stage == "transient":
+        model = (
+            bench.build_reference_layout_transient_cache_model(config)
+            if layout == "reference"
+            else bench.build_flagship_transient_cache_model(config)
         )
     elif layout == "reference":
         model = bench.build_reference_layout_cache_model(config)
@@ -306,21 +356,30 @@ def main():
                     default="flagship",
                     help="Which of OUR layouts to run: the TPU-first "
                          "flagship or the reference's grids-on-all-levels.")
-    ap.add_argument("--stage", choices=["cache", "material"], default="cache",
-                    help="cache stage or the material_light_from_scratch_"
-                         "resample stage (32 secondary samples, debias).")
+    ap.add_argument("--stage", choices=["cache", "material", "transient"],
+                    default="cache",
+                    help="cache stage, the material_light_from_scratch_"
+                         "resample stage (32 secondary samples, debias), or "
+                         "the transient (InvProp) time-binned cache stage.")
+    ap.add_argument("--bins", type=int, default=128,
+                    help="transient stage: time bins on BOTH sides (the "
+                         "cornell budget is 700; exposure is rescaled to "
+                         "keep the same time coverage).")
     args = ap.parse_args()
 
     out = {"batch": args.batch, "steps": args.steps, "device": "cpu",
            "stage": args.stage}
+    if args.stage == "transient":
+        out["n_bins"] = args.bins
     if args.side in ("ref", "both"):
         print("[reference] building + compiling...", flush=True)
-        out["reference"] = run_reference(args.batch, args.steps, stage=args.stage)
+        out["reference"] = run_reference(args.batch, args.steps,
+                                         stage=args.stage, n_bins=args.bins)
         print("[reference]", out["reference"], flush=True)
     if args.side in ("ours", "both"):
         print("[ours] building + compiling...", flush=True)
         out["ours"] = run_ours(args.batch, args.steps, layout=args.layout,
-                               stage=args.stage)
+                               stage=args.stage, n_bins=args.bins)
         out["ours"]["layout"] = args.layout
         print("[ours]", out["ours"], flush=True)
     if "reference" in out and "ours" in out:

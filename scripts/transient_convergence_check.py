@@ -27,6 +27,12 @@ sys.path.insert(0, ".")
 import dataclasses
 
 import jax
+
+# --cpu: tiny-shape smoke runs on hosts where the TPU tunnel may be absent
+# (JAX_PLATFORMS is overridden by sitecustomize; this knob is reliable).
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 import bench
