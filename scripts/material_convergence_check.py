@@ -9,6 +9,8 @@ from it via checkpoint surgery, trains the material stage, and reports:
   * test-view PSNR of the material render
 
 Usage: python scripts/material_convergence_check.py [cache_steps] [mat_steps]
+    [--layout reference] [--analytic-normals] [--active]
+    [--batch N] [--mat-batch N] [--res N] [--probe-dir DIR]
 """
 
 import sys
@@ -17,6 +19,13 @@ import time
 sys.path.insert(0, ".")
 
 import jax
+
+# --cpu: tiny-shape smoke runs on hosts where the TPU tunnel may be absent.
+# (The JAX_PLATFORMS env var is overridden by sitecustomize on this image;
+# the config update after import is the reliable knob.)
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 import bench
@@ -27,7 +36,26 @@ from neural_radiance_caching_tpu.parallel import mesh as mesh_lib
 from neural_radiance_caching_tpu.parallel import train as train_lib
 from neural_radiance_caching_tpu.utils import pytrees
 
-_args = [a for a in sys.argv[1:] if not a.startswith("--") and a != "reference"]
+def _int_flag(name, default):
+    return (
+        int(sys.argv[sys.argv.index(name) + 1]) if name in sys.argv else default
+    )
+
+
+def _str_flag(name, default=None):
+    return sys.argv[sys.argv.index(name) + 1] if name in sys.argv else default
+
+
+_flag_values = {
+    sys.argv[i + 1]
+    for i, a in enumerate(sys.argv)
+    if a.startswith("--") and i + 1 < len(sys.argv)
+}
+_args = [
+    a
+    for a in sys.argv[1:]
+    if not a.startswith("--") and a != "reference" and a not in _flag_values
+]
 CACHE_STEPS = int(_args[0]) if len(_args) > 0 else 1200
 MAT_STEPS = int(_args[1]) if len(_args) > 1 else 1000
 # --layout reference: grids-on-all-levels (the reference default) for the
@@ -69,9 +97,15 @@ if ANALYTIC_NORMALS:
 
     bench.flagship_cache_params = _cache_params_analytic
 
-BATCH = 8192
-MAT_BATCH = 768
-RES = 128
+# Batch/resolution overrides make a tiny-shape CPU smoke of any flag combo
+# possible before committing an hour of chip time to it.
+BATCH = _int_flag("--batch", 8192)
+MAT_BATCH = _int_flag("--mat-batch", 768)
+RES = _int_flag("--res", 128)
+# --probe-dir DIR: after the material stage trains, emit the secondary-ray
+# panorama + vMF visualization artifacts from the trained model through the
+# Trainer's own probe methods (reference trainer.py:1991-2052).
+PROBE_DIR = _str_flag("--probe-dir")
 
 
 def make_config(**overrides):
@@ -168,6 +202,50 @@ def eval_material(model, config, state, test_ds, view=0):
     return out
 
 
+def emit_probe(model, config, state, test_ds, out_dir):
+    """Secondary panorama + vMF artifacts via the Trainer's probe methods.
+
+    Renders one test view with the light-sampler visualization pass, then
+    drives Trainer._visualize_secondary unchanged (the SimpleNamespace shim
+    pattern from tests/test_secondary_probe.py) so the saved artifacts come
+    from exactly the code path `Trainer.vis_secondary` uses in training runs.
+    """
+    import types
+
+    from neural_radiance_caching_tpu.engine import trainer as trainer_lib
+
+    mesh = mesh_lib.create_mesh()
+    render_fn = train_lib.create_render_fn(
+        model, mesh=mesh,
+        passes=("cache", "light", "material", "light_sampler_vis"),
+    )
+    batch = test_ds.generate_ray_batch(0)
+    rendering = renderer.render_image(
+        render_fn, state.params, batch.rays, jax.random.PRNGKey(7), config,
+        height=RES, width=RES, train_frac=1.0,
+    )
+    shim = types.SimpleNamespace(
+        model=model, config=config, state=state, mesh=mesh,
+        render_rng=jax.random.PRNGKey(3),
+        test_dataset=types.SimpleNamespace(height=RES, width=RES),
+        vis_surface_light_field=False,
+        use_transient=False,
+        save_dir=out_dir, save_results=True,
+        _render_secondary_fn=None,
+    )
+    for name in ("_probe_resolution", "render_secondary_rays", "render_vmf",
+                 "_visualize_secondary"):
+        setattr(shim, name,
+                types.MethodType(getattr(trainer_lib.Trainer, name), shim))
+    secondary = shim._visualize_secondary(0, rendering, batch.rays, 1.0)
+    if secondary is None:
+        print("[probe] SKIPPED: rendering lacks distance_median/normals",
+              flush=True)
+    else:
+        print(f"[probe] artifacts under {out_dir} "
+              f"(secondary keys: {sorted(secondary)[:6]}...)", flush=True)
+
+
 def main():
     print("devices:", jax.devices(), flush=True)
     rng = jax.random.PRNGKey(11)
@@ -230,6 +308,8 @@ def main():
     metrics = eval_material(mat_model, mat_config, mat_state, test_ds)
     print("RESULT " + " ".join(f"{k}={v:.3f}" for k, v in metrics.items()),
           flush=True)
+    if PROBE_DIR:
+        emit_probe(mat_model, mat_config, mat_state, test_ds, PROBE_DIR)
 
 
 if __name__ == "__main__":
