@@ -410,9 +410,46 @@ def bench_train_steps(model, config, dataset, n_steps, batch_size):
     return dt, detail
 
 
+def _preflight_device_check(timeout_s=240):
+    """Fail fast (not hang) when the TPU tunnel is down.
+
+    With the axon plugin registered but its tunnel unreachable, device
+    discovery BLOCKS indefinitely rather than erroring — which would hang
+    the driver's bench run for hours. Probe discovery in a subprocess
+    (a blocked PJRT init can't be interrupted in-process) and exit with a
+    clear message if it never returns.
+    """
+    import os
+    import subprocess
+    import sys
+
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"bench preflight: TPU device discovery still blocked after "
+            f"{timeout_s}s — axon tunnel down. No metric emitted.",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
+    if proc.returncode != 0:
+        print(
+            "bench preflight: TPU device discovery failed:\n"
+            + proc.stderr[-2000:],
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
+
+
 def main():
     import sys
 
+    _preflight_device_check()
     if "--stage" in sys.argv:
         # Selective single-stage run (debug/re-measurement); the driver's
         # default `python bench.py` line stays the full three-stage metric.
