@@ -282,6 +282,41 @@ def undistort_coordinates(xd, yd, params, xnp=np, max_iterations=10, eps=1e-9):
     return x, y
 
 
+def convert_to_ndc(origins, directions, pixtocam, near=1.0, xnp=np):
+    """Map forward-facing rays into the shared projective NDC cube.
+
+    The standard NeRF NDC warp (Mildenhall et al. 2020, appendix C;
+    behavioral parity: reference camera_utils.py:51-118): rays are slid
+    along themselves onto the z = -near plane, then the near intersection
+    projects to z = -1 and the infinite far point to z = +1, so [near, inf)
+    becomes t_ndc in [0, 1). Only the two projective scale factors are
+    needed from the inverse intrinsics. Returned directions are NOT unit
+    length by construction.
+    """
+    slide = -(near + origins[..., 2]) / directions[..., 2]
+    origins = origins + slide[..., None] * directions
+
+    # pixtocam[i, 2] carries -cx/f (resp. -cy/f) for a centered pinhole, so
+    # its reciprocal is the projective half-frustum scale.
+    scale_x = 1.0 / pixtocam[0, 2]
+    scale_y = 1.0 / pixtocam[1, 2]
+
+    def project(p, z_plane):
+        return xnp.stack(
+            [
+                scale_x * p[..., 0] / p[..., 2],
+                scale_y * p[..., 1] / p[..., 2],
+                xnp.full_like(p[..., 2], z_plane),
+            ],
+            axis=-1,
+        )
+
+    near_points = project(origins, -1.0)
+    # The far endpoint depends only on the direction (t -> infinity).
+    far_points = project(directions, 1.0)
+    return near_points, far_points - near_points
+
+
 def pixels_to_rays(
     pix_x_int,
     pix_y_int,
@@ -293,6 +328,7 @@ def pixels_to_rays(
     jitter=0,
     xnp=np,
     virtual_camtoworlds=None,
+    pixtocam_ndc=None,
 ):
     """Cast rays through pixel centers; returns all per-ray camera fields.
 
@@ -392,8 +428,21 @@ def pixels_to_rays(
         vcam_up = xnp.broadcast_to(virtual_camtoworlds[..., :3, 1], directions.shape)
         vcam_origins = xnp.broadcast_to(virtual_camtoworlds[..., :3, -1], directions.shape)
 
-    dx_norm = xnp.linalg.norm(ddx - directions, axis=-1)
-    dy_norm = xnp.linalg.norm(ddy - directions, axis=-1)
+    if pixtocam_ndc is None:
+        dx_norm = xnp.linalg.norm(ddx - directions, axis=-1)
+        dy_norm = xnp.linalg.norm(ddy - directions, axis=-1)
+    else:
+        # Forward-facing NDC scenes: warp rays into the projective cube.
+        # Neighbour-pixel spacing (for the mip radii) is measured between
+        # warped ORIGINS — NDC directions aren't unit length, so direction
+        # deltas would no longer track footprint size.
+        origins_ndc_dx, _ = convert_to_ndc(origins, ddx, pixtocam_ndc, xnp=xnp)
+        origins_ndc_dy, _ = convert_to_ndc(origins, ddy, pixtocam_ndc, xnp=xnp)
+        origins, directions = convert_to_ndc(
+            origins, directions, pixtocam_ndc, xnp=xnp
+        )
+        dx_norm = xnp.linalg.norm(origins_ndc_dx - origins, axis=-1)
+        dy_norm = xnp.linalg.norm(origins_ndc_dy - origins, axis=-1)
     radii = (0.5 * (dx_norm + dy_norm))[..., None] * 2 / xnp.sqrt(12)
 
     return (
@@ -424,12 +473,15 @@ def cast_ray_batch(
 ) -> pytrees.Rays:
     """Turn a Pixels batch into a Rays batch by indexing per-ray cameras.
 
-    `cameras` is (pixtocams [N,3,3], camtoworlds [N,3,4], distortion, _) and
-    `lights` is [N_lights or N_cams, 3]; both gathered by cam_idx/light_idx
-    (camera_utils.py:1225-1329).
+    `cameras` is (pixtocams [N,3,3], camtoworlds [N,3,4], distortion,
+    pixtocam_ndc) and `lights` is [N_lights or N_cams, 3]; both gathered by
+    cam_idx/light_idx (camera_utils.py:1225-1329). A non-None pixtocam_ndc
+    ([3,3], shared across cameras) warps the cast rays into NDC space
+    (forward-facing datasets: PixelRig).
     """
     pixtocams, camtoworlds = cameras[0], cameras[1]
     distortion_params = cameras[2] if len(cameras) > 2 else None
+    pixtocam_ndc = cameras[3] if len(cameras) > 3 else None
     cam_idx = pixels.cam_idx[..., 0]
     light_idx = pixels.light_idx[..., 0]
     if isinstance(distortion_params, dict):
@@ -474,6 +526,7 @@ def cast_ray_batch(
         jitter=jitter,
         xnp=xnp,
         virtual_camtoworlds=virtual_camtoworld,
+        pixtocam_ndc=pixtocam_ndc,
     )
 
     return pytrees.Rays(

@@ -3,12 +3,13 @@
 Behavioral parity target: reference internal/datasets.py (Dataset ABC
 :591-1066, RayBatcher :1069-1150, pose loaders :333-555, loaders :1169-3770).
 
-Implemented loaders: blender, blender_active, transient_simulation,
-transient_simulation_itof, fwp_transient_captured, orb, open_illum, neilf,
-real, fipt_real, fipt_synthetic, glossy_real, glossy_synthetic, llff, plus
-the procedural synthetic_spheres scene used by tests/benchmarks. The
-remaining reference loaders (tat_*, dtu, pixelrig, rtmv, aerial) dispatch to
-a clear NotImplementedError until their phase.
+All 22 reference loaders are implemented (blender, blender_active,
+transient_simulation[_itof], fwp_transient_captured, orb, open_illum, neilf,
+real, fipt_real/synthetic, glossy_real/synthetic, llff, tat_nerfpp, tat_fvs,
+dtu, rtmv, pixelrig, aerial, preloaded) plus the procedural
+synthetic_spheres scene used by tests/benchmarks. PixelRig/Aerial read
+cameras from an open JSON/npz encoding (_read_sfm_camera) because the
+reference's Google-internal CameraProto path is dead code even upstream.
 
 Batching is host-side numpy: `next_train` draws random pixels (from stacked
 images, a flattened pixel table, or transient h5 sample streams), casts them
@@ -18,6 +19,7 @@ NamedSharding (no per-device reshape, see parallel.mesh).
 
 from __future__ import annotations
 
+import io
 import json
 import os
 import queue
@@ -54,16 +56,11 @@ def load_dataset(split, data_dir, config, **kwargs):
         "tat_fvs": TanksAndTemplesFVS,
         "dtu": DTU,
         "rtmv": RTMV,
+        "pixelrig": PixelRig,
+        "aerial": Aerial,
+        "preloaded": PreloadedData,
         "synthetic_spheres": SyntheticSpheres,
     }
-    # PixelRig/Aerial depend on Google-internal vision_sfm camera protos
-    # (reference datasets.py:3514, 3687) that have no public equivalent.
-    not_yet = ("aerial", "pixelrig")
-    if config.dataset_loader in not_yet:
-        raise NotImplementedError(
-            f"dataset_loader={config.dataset_loader!r} requires internal "
-            "vision_sfm camera protos with no public format"
-        )
     return loaders[config.dataset_loader](split, data_dir, config, **kwargs)
 
 
@@ -300,6 +297,7 @@ class Dataset:
         self.images_flattened = None
         self.indices_flattened = None
         self.light_idx_flattened = None
+        self.pixtocam_ndc = None  # [3, 3] set only by forward-facing NDC loaders
 
         self._np_rng = np.random.RandomState(
             config.np_rng_seed + (0 if split == "train" else 1)
@@ -330,13 +328,23 @@ class Dataset:
 
     @property
     def cameras(self):
-        return (self.pixtocams, self.camtoworlds, self.distortion_params, None)
+        return (
+            self.pixtocams,
+            self.camtoworlds,
+            self.distortion_params,
+            self.pixtocam_ndc,
+        )
 
     def get_train_cameras(self, config):
         return self.cameras
 
     def get_train_virtual_cameras(self, config):
-        return (self.pixtocams, self.virtual_camtoworlds, self.distortion_params, None)
+        return (
+            self.pixtocams,
+            self.virtual_camtoworlds,
+            self.distortion_params,
+            self.pixtocam_ndc,
+        )
 
     # --- batching ---------------------------------------------------------
 
@@ -1634,6 +1642,242 @@ class RTMV(Dataset):
             np.float32
         )
         self.camtoworlds = np.stack(poses, axis=0).astype(np.float32)
+
+
+def _read_sfm_camera(path):
+    """Read one SfM camera from an open serialization (JSON or .npz).
+
+    The reference's PixelRig/Aerial loaders deserialize Google-internal
+    vision_sfm CameraProto files (reference datasets.py:3513, 3683) — whose
+    imports don't exist even in the public reference release, so that path
+    is dead upstream. We keep the loaders alive on an open encoding of the
+    exact quantities those loaders consume:
+
+      focal_length          float (pixels)            [required]
+      pixel_aspect_ratio    float, fy = f * aspect    [default 1.0]
+      principal_point_x/_y  floats (pixels)           [required]
+      image_size_x/_y       ints                      [optional]
+      camera_from_world     [4,4] row-major           [this or its inverse]
+      world_from_camera     [4,4] row-major
+
+    Binary CameraProto files still fail with a clear message.
+    """
+    blob = open(path, "rb").read()
+    cam = None
+    try:
+        cam = {k: np.asarray(v) for k, v in json.loads(blob).items()}
+    except (UnicodeDecodeError, json.JSONDecodeError):
+        try:
+            cam = dict(np.load(io.BytesIO(blob), allow_pickle=False))
+        except Exception:
+            pass
+    if cam is None or "focal_length" not in cam:
+        raise NotImplementedError(
+            f"camera file {path!r} is not the open JSON/npz SfM-camera "
+            "format (see _read_sfm_camera); Google-internal vision_sfm "
+            "CameraProto binaries cannot be parsed without the internal "
+            "schema — re-export cameras as JSON/npz."
+        )
+    if "camera_from_world" in cam:
+        cam_from_world = np.asarray(cam["camera_from_world"], np.float64)
+    else:
+        cam_from_world = np.linalg.inv(
+            np.asarray(cam["world_from_camera"], np.float64)
+        )
+    f = float(cam["focal_length"])
+    aspect = float(cam.get("pixel_aspect_ratio", 1.0))
+    calibration = camera_utils.intrinsic_matrix(
+        f, f * aspect,
+        float(cam["principal_point_x"]), float(cam["principal_point_y"]),
+    )
+    return {
+        "camera_from_world": cam_from_world,
+        "calibration": calibration,
+        "focal_length": f,
+        "image_size_x": int(cam.get("image_size_x", 0)),
+        "image_size_y": int(cam.get("image_size_y", 0)),
+    }
+
+
+def _opencv_pose(cam_from_world, translation_scale):
+    """world-from-camera [3,4] in OpenGL axes, positions rescaled."""
+    pose = np.linalg.inv(camera_utils.pad_poses(cam_from_world[:3, :4]))[:3, :4]
+    pose = pose @ np.diag([1.0, -1.0, -1.0, 1.0])  # OpenCV -> OpenGL
+    pose[:3, -1] *= translation_scale
+    return pose
+
+
+class PixelRig(Dataset):
+    """Pixel phone 5-camera cross rig: central camera at the world origin,
+    forward-facing scenes rendered in NDC space (reference
+    datasets.py:3482-3572). Cameras come from the open JSON/npz encoding
+    (_read_sfm_camera) of the rig's SfM cameras.
+    """
+
+    def _load_renderings(self, config):
+        images_dir = self.data_dir
+        cameras_dir = images_dir.replace("scaled_images", "scaled_camera_pose")
+        image_files = sorted(os.listdir(images_dir))
+        camera_files = sorted(os.listdir(cameras_dir))
+        assert len(image_files) == len(camera_files)
+
+        images, poses, pixtocams = [], [], []
+        for image_f, camera_f in zip(image_files, camera_files):
+            images.append(
+                io_lib.load_img(os.path.join(images_dir, image_f)) / 255.0
+            )
+            cam = _read_sfm_camera(os.path.join(cameras_dir, camera_f))
+            # NDC space assumes world near = 1, so positions are scaled by
+            # 1/near; near/far become the NDC bounds [0, 1).
+            poses.append(
+                _opencv_pose(cam["camera_from_world"], 1.0 / config.near)
+            )
+            pixtocams.append(np.linalg.inv(cam["calibration"]))
+        self.near, self.far = 0.0, 1.0
+
+        # World flip so poses face -z "forward" as the NDC warp requires.
+        poses = np.diag([1.0, -1.0, -1.0]) @ np.stack(poses, axis=0)
+
+        # Circular render path around the rig center (the central camera
+        # sits at the origin by the rig's construction).
+        radius = np.mean(np.linalg.norm(poses[:, :3, -1], axis=-1))
+        angles = np.linspace(
+            0, 2 * np.pi, config.render_path_frames, endpoint=False
+        )
+        self.render_poses = np.stack(
+            [
+                np.concatenate(
+                    [
+                        np.eye(3),
+                        radius
+                        * np.array([[np.cos(a)], [np.sin(a)], [0.0]]),
+                    ],
+                    axis=-1,
+                )
+                for a in angles
+            ],
+            axis=0,
+        ).astype(np.float32)
+
+        if config.render_path:
+            self.camtoworlds = self.render_poses
+            self.pixtocams = pixtocams[0].astype(np.float32)
+        else:
+            self.camtoworlds = poses.astype(np.float32)
+            self.pixtocams = np.stack(pixtocams, axis=0).astype(np.float32)
+        self.images = np.stack(images, axis=0)[..., :3].astype(np.float32)
+
+        # The NDC projection uses a CENTERED principal point.
+        h, w = self.images.shape[1:3]
+        focal = 1.0 / self.pixtocams.reshape(-1, 3, 3)[0, 0, 0]
+        self.pixtocam_ndc = np.linalg.inv(
+            camera_utils.intrinsic_matrix(focal, focal, w / 2.0, h / 2.0)
+        ).astype(np.float32)
+
+
+class Aerial(Dataset):
+    """Aerial captures: rgb/ + cameras/ directories, scene pre-scaled into
+    [-2, 2]^3 by config.world_scale (reference datasets.py:3661-3768).
+    Cameras come from the open JSON/npz encoding (_read_sfm_camera).
+    """
+
+    def _load_renderings(self, config):
+        images_dir = os.path.join(self.data_dir, "rgb")
+        cameras_dir = os.path.join(self.data_dir, "cameras")
+        image_files = sorted(os.listdir(images_dir))
+        camera_files = sorted(os.listdir(cameras_dir))
+        assert len(image_files) == len(camera_files)
+
+        images = np.stack(
+            [
+                io_lib.load_img(os.path.join(images_dir, f)) / 255.0
+                for f in image_files
+            ],
+            axis=0,
+        )
+
+        def load_cam(path):
+            cam = _read_sfm_camera(path)
+            pose = _opencv_pose(
+                cam["camera_from_world"], 1.0 / config.world_scale
+            )
+            return cam, pose, np.linalg.inv(cam["calibration"])
+
+        cams = [
+            load_cam(os.path.join(cameras_dir, f)) for f in camera_files
+        ]
+        poses = np.stack([c[1] for c in cams], axis=0)
+        pixtocams = np.stack([c[2] for c in cams], axis=0)
+
+        # Split by llffhold: every llffhold-th image is test.
+        all_indices = np.arange(images.shape[0])
+        is_test = all_indices % config.llffhold == 0
+        indices = all_indices[is_test if self.split != "train" else ~is_test]
+
+        self.images = images[indices][..., :3].astype(np.float32)
+        self.camtoworlds = poses[indices].astype(np.float32)
+        self.pixtocams = pixtocams[indices].astype(np.float32)
+
+        if config.render_path:
+            orbit_dir = os.path.join(self.data_dir, "orbit_cameras")
+            if os.path.isdir(orbit_dir):
+                # Exported orbit cameras override everything, including the
+                # intrinsics/size of the render cameras.
+                render_poses = []
+                for f in sorted(os.listdir(orbit_dir)):
+                    cam, pose, pixtocam = load_cam(os.path.join(orbit_dir, f))
+                    render_poses.append(pose)
+                    self.pixtocams = pixtocam.astype(np.float32)
+                    if cam["image_size_x"]:
+                        self.width = cam["image_size_x"]
+                        self.height = cam["image_size_y"]
+                self.camtoworlds = np.stack(render_poses, axis=0).astype(
+                    np.float32
+                )
+            else:
+                # Circular path over the [-1,1]^3-normalized scene.
+                h, w = images.shape[1:3]
+                angles = np.linspace(
+                    0, 2 * np.pi, config.render_path_frames, endpoint=False
+                )
+                up = np.array([0.0, 0.0, 1.0])
+                self.camtoworlds = np.stack(
+                    [
+                        camera_utils.viewmatrix(
+                            np.array([np.cos(a), np.sin(a), 1.0]),
+                            up,
+                            np.array([np.cos(a), np.sin(a), 1.0]),
+                        )
+                        for a in angles
+                    ],
+                    axis=0,
+                ).astype(np.float32)
+                focal = 3.0 * w
+                self.pixtocams = np.array(
+                    [
+                        [1.0 / focal, 0.0, -0.5 * w / focal],
+                        [0.0, -1.0 / focal, 0.5 * h / focal],
+                        [0.0, 0.0, -1.0],
+                    ],
+                    np.float32,
+                )
+
+
+class PreloadedData(Dataset):
+    """Arrays already in memory, passed as constructor kwargs — convenient
+    for notebooks/debugging (reference datasets.py:3771-3800): images
+    [N,H,W,3], camtoworlds [N,3,4], pixtocams [N or 1,3,3]."""
+
+    def __init__(self, split, data_dir, config, **kwargs):
+        self._preloaded = kwargs
+        super().__init__(split, data_dir, config)
+
+    def _load_renderings(self, config):
+        self.images = np.asarray(self._preloaded["images"], np.float32)
+        self.camtoworlds = np.asarray(
+            self._preloaded["camtoworlds"], np.float32
+        )
+        self.pixtocams = np.asarray(self._preloaded["pixtocams"], np.float32)
 
 
 # --- procedural test scene -------------------------------------------------------------

@@ -73,6 +73,7 @@ class Config:
     forward_facing: bool = False
     render_path: bool = False
     llffhold: int = 8
+    world_scale: float = 1.0  # camera positions divided by this (Aerial)
     dtu_light_cond: int = 2
     render_path_frames: int = 120
     z_variation: float = 0.0

@@ -281,7 +281,7 @@ def create_train_step(
     if config.cast_rays_in_train_step and dataset is not None:
         cast_cameras = {
             "cameras": jax.tree_util.tree_map(
-                jnp.asarray, tuple(dataset.cameras[:3]) + (None,)
+                jnp.asarray, tuple(dataset.cameras)
             ),
             "lights": jnp.asarray(dataset.lights),
             "virtual": (

@@ -119,3 +119,57 @@ def test_cast_ray_batch_with_distortion():
     assert np.abs(
         np.asarray(rays.viewdirs) - np.asarray(rays_plain.viewdirs)
     ).max() > 1e-5
+
+
+def test_convert_to_ndc_projective_consistency():
+    """Points along a world ray project onto the straight NDC line.
+
+    The NDC warp's defining property (NeRF appendix C): perspective-project
+    any point of the (near-plane-slid) world ray and it must land on
+    origins_ndc + s * directions_ndc at the s whose z matches.
+    """
+    rng = np.random.RandomState(7)
+    o = rng.randn(32, 3)
+    o[:, 2] = -np.abs(o[:, 2]) - 2.0  # strictly in front (dz < 0 region)
+    d = rng.randn(32, 3)
+    d[:, 2] = -np.abs(d[:, 2]) - 0.5
+    f, w, h = 12.0, 10.0, 8.0
+    pixtocam = np.linalg.inv(camera_utils.intrinsic_matrix(f, f, w / 2, h / 2))
+    o_ndc, d_ndc = camera_utils.convert_to_ndc(o, d, pixtocam)
+    np.testing.assert_allclose(o_ndc[:, 2], -1.0, atol=1e-6)
+    np.testing.assert_allclose((o_ndc + d_ndc)[:, 2], 1.0, atol=1e-6)
+
+    scale_x, scale_y = 1.0 / pixtocam[0, 2], 1.0 / pixtocam[1, 2]
+    slide = -(1.0 + o[:, 2]) / d[:, 2]
+    near_origin = o + slide[:, None] * d
+    for t in (0.25, 3.0, 50.0):
+        p = near_origin + t * d
+        x_proj = scale_x * p[:, 0] / p[:, 2]
+        y_proj = scale_y * p[:, 1] / p[:, 2]
+        z_proj = 1.0 + 2.0 / p[:, 2]  # near=1 perspective depth in NDC
+        s = (z_proj - o_ndc[:, 2]) / d_ndc[:, 2]
+        assert ((0 <= s) & (s < 1)).all()
+        np.testing.assert_allclose(o_ndc[:, 0] + s * d_ndc[:, 0], x_proj,
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(o_ndc[:, 1] + s * d_ndc[:, 1], y_proj,
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_pixels_to_rays_ndc_radii_from_origins():
+    """With pixtocam_ndc set, rays warp to NDC and radii stay positive."""
+    f, res = 10.0, 8
+    pixtocam = np.linalg.inv(
+        camera_utils.intrinsic_matrix(f, f, res / 2, res / 2)
+    )
+    camtoworld = np.eye(3, 4)[None]
+    pix = np.arange(4, dtype=np.int32)
+    out = camera_utils.pixels_to_rays(
+        pix, pix, pixtocam[None], camtoworld, pixtocam_ndc=pixtocam
+    )
+    origins, directions, viewdirs, radii = out[0], out[1], out[2], out[3]
+    np.testing.assert_allclose(origins[..., 2], -1.0, atol=1e-5)
+    np.testing.assert_allclose(directions[..., 2], 2.0, atol=1e-5)
+    # viewdirs stay world-space unit vectors.
+    np.testing.assert_allclose(np.linalg.norm(viewdirs, axis=-1), 1.0,
+                               atol=1e-5)
+    assert (radii > 0).all() and np.isfinite(radii).all()

@@ -460,3 +460,143 @@ def test_procrustes_alignment_recovers_similarity():
     # Test poses receive the same transform.
     expected = scale * (test_gt[:, :3, 3] @ rot.T) + trans
     np.testing.assert_allclose(aligned_test[:, :3, 3], expected, atol=1e-5)
+
+
+# --- PixelRig / Aerial / PreloadedData (open SfM-camera encoding) ----------------
+
+
+def _write_sfm_camera(path, focal, ppx, ppy, cam_from_world, aspect=1.0,
+                      size=None, as_npz=False, invert_key=False):
+    fields = {
+        "focal_length": focal,
+        "pixel_aspect_ratio": aspect,
+        "principal_point_x": ppx,
+        "principal_point_y": ppy,
+    }
+    if size is not None:
+        fields["image_size_x"], fields["image_size_y"] = size
+    key = "world_from_camera" if invert_key else "camera_from_world"
+    mat = np.linalg.inv(cam_from_world) if invert_key else cam_from_world
+    if as_npz:
+        np.savez(path, **fields, **{key: mat})
+    else:
+        with open(path, "w") as f:
+            json.dump({**fields, key: np.asarray(mat).tolist()}, f)
+
+
+def _rig_cam_from_world(i):
+    m = np.eye(4)
+    m[:3, 3] = [0.05 * i, -0.03 * i, 0.02 * i]
+    return m
+
+
+def test_pixelrig_loader_casts_ndc_rays(tmp_path):
+    res, n = 8, 3
+    img_dir = tmp_path / "scaled_images"
+    cam_dir = tmp_path / "scaled_camera_pose"
+    os.makedirs(img_dir)
+    os.makedirs(cam_dir)
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        _write_png(str(img_dir / f"im_{i}.png"), rng.rand(res, res, 3))
+        _write_sfm_camera(
+            str(cam_dir / f"cam_{i}.json"), focal=10.0, ppx=res / 2,
+            ppy=res / 2, cam_from_world=_rig_cam_from_world(i),
+            as_npz=False, invert_key=(i % 2 == 1),
+        )
+    # npz alternative of the same encoding must parse identically.
+    _write_sfm_camera(str(tmp_path / "cam.npz"), 10.0, 4.0, 4.0,
+                      _rig_cam_from_world(1), as_npz=True)
+    cam = datasets._read_sfm_camera(str(tmp_path / "cam.npz"))
+    assert cam["focal_length"] == 10.0
+
+    config = Config(dataset_loader="pixelrig", near=1.0, far=100.0,
+                    batch_size=8)
+    ds = datasets.load_dataset("train", str(img_dir), config)
+    assert (ds.near, ds.far) == (0.0, 1.0)  # NDC bounds
+    assert ds.pixtocam_ndc is not None
+    assert ds.render_poses.shape == (config.render_path_frames, 3, 4)
+    batch = ds.next_train()
+    # NDC rays: every origin sits exactly on the z = -1 near plane and
+    # directions span to the +1 far plane.
+    np.testing.assert_allclose(batch.rays.origins[..., 2], -1.0, atol=1e-5)
+    np.testing.assert_allclose(batch.rays.directions[..., 2], 2.0, atol=1e-5)
+    assert np.isfinite(batch.rays.radii).all() and (batch.rays.radii > 0).all()
+    np.testing.assert_allclose(batch.rays.near, 0.0)
+    np.testing.assert_allclose(batch.rays.far, 1.0)
+
+
+def test_pixelrig_proto_file_raises(tmp_path):
+    with open(tmp_path / "cam.pb", "wb") as f:
+        f.write(b"\x0a\x14\x08\x01\x12\x00")  # binary proto-ish bytes
+    with pytest.raises(NotImplementedError, match="vision_sfm"):
+        datasets._read_sfm_camera(str(tmp_path / "cam.pb"))
+
+
+def test_aerial_loader_split_and_scale(tmp_path):
+    res, n = 8, 4
+    os.makedirs(tmp_path / "rgb")
+    os.makedirs(tmp_path / "cameras")
+    rng = np.random.RandomState(1)
+    for i in range(n):
+        _write_png(str(tmp_path / "rgb" / f"{i:03d}.png"),
+                   rng.rand(res, res, 3))
+        _write_sfm_camera(
+            str(tmp_path / "cameras" / f"{i:03d}.json"), focal=9.0,
+            ppx=res / 2, ppy=res / 2, cam_from_world=_rig_cam_from_world(i + 1),
+        )
+    config = Config(dataset_loader="aerial", near=0.1, far=10.0, batch_size=8,
+                    llffhold=2, world_scale=2.0)
+    train = datasets.load_dataset("train", str(tmp_path), config)
+    test = datasets.load_dataset("test", str(tmp_path), config)
+    assert train.images.shape[0] == 2 and test.images.shape[0] == 2
+    # world_scale divides camera positions: image 1 went to the train split.
+    expected = np.linalg.inv(_rig_cam_from_world(2))[:3, 3] / 2.0
+    np.testing.assert_allclose(train.camtoworlds[0, :3, 3], expected,
+                               atol=1e-6)
+    batch = train.next_train()
+    assert np.isfinite(batch.rays.directions).all()
+
+
+def test_aerial_orbit_render_path(tmp_path):
+    res = 8
+    os.makedirs(tmp_path / "rgb")
+    os.makedirs(tmp_path / "cameras")
+    os.makedirs(tmp_path / "orbit_cameras")
+    rng = np.random.RandomState(2)
+    for i in range(2):
+        _write_png(str(tmp_path / "rgb" / f"{i}.png"), rng.rand(res, res, 3))
+        _write_sfm_camera(str(tmp_path / "cameras" / f"{i}.json"), 9.0,
+                          res / 2, res / 2, _rig_cam_from_world(i + 1))
+    for i in range(3):
+        _write_sfm_camera(str(tmp_path / "orbit_cameras" / f"{i}.json"), 7.0,
+                          res / 2, res / 2, _rig_cam_from_world(i + 2),
+                          size=(16, 12))
+    config = Config(dataset_loader="aerial", near=0.1, far=10.0, batch_size=8,
+                    render_path=True, world_scale=1.0)
+    ds = datasets.load_dataset("train", str(tmp_path), config)
+    assert ds.camtoworlds.shape[0] == 3  # orbit cameras drive the path
+    # Orbit intrinsics (focal 7) replaced the capture intrinsics (focal 9).
+    np.testing.assert_allclose(
+        1.0 / ds.pixtocams.reshape(-1, 3, 3)[0, 0, 0], 7.0, rtol=1e-6
+    )
+
+
+def test_preloaded_data_arrays(tmp_path):
+    res, n = 8, 2
+    rng = np.random.RandomState(3)
+    images = rng.rand(n, res, res, 3).astype(np.float32)
+    camtoworlds = np.stack([_pose(i, n) for i in range(n)]).astype(np.float32)
+    pixtocams = np.linalg.inv(
+        camera_utils.intrinsic_matrix(10.0, 10.0, res / 2, res / 2)
+    )[None].astype(np.float32)
+    config = Config(dataset_loader="preloaded", near=0.1, far=8.0,
+                    batch_size=8)
+    ds = datasets.load_dataset(
+        "train", None, config,
+        images=images, camtoworlds=camtoworlds, pixtocams=pixtocams,
+    )
+    assert ds.num_images == n and ds.height == res
+    batch = ds.next_train()
+    assert batch.rgb.shape == (8, 3)
+    assert np.isfinite(batch.rays.origins).all()
