@@ -1,7 +1,8 @@
-"""Benchmark: cache + material stage training throughput on one TPU chip.
+"""Benchmark: train + eval throughput on one TPU chip, all stages.
 
-Trains BOTH Flash Cache stages at the reference's flagship scale on a
-procedural scene and reports sustained train-step rays/sec:
+Runs the Flash Cache stages plus the InvProp transient stage at the
+reference's flagship scale on a procedural scene and reports sustained
+train-step rays/sec (and eval-render ms/ray):
 
   * cache stage (ngp_yobo.gin: hash levels to 2048^3 with T=2^19, F=4
     appearance grid, 64/64/32 samples, 64-wide MLPs) — the headline metric;
@@ -9,7 +10,12 @@ procedural scene and reports sustained train-step rays/sec:
     into the frozen-architecture cache with num_secondary_samples=32 + 4
     diffuse, resample=1, SLF control variate, vMF light sampler — reference
     internal/material.py:1352-1565 secondary-ray engine), reported in
-    `detail.material_stage`.
+    `detail.material_stage`;
+  * transient (InvProp) cache stage (700 time bins, learnable light),
+    reported in `detail.transient_stage`;
+  * eval-render throughput through the chunked Welford renderer (the
+    reference's per-image ms/ray print, internal/models.py:2522-2523),
+    reported in `detail.eval_render`.
 
 Baseline: the reference cannot run this workload on TPU at all (it raises on
 TPU, internal/geometry.py:255-257) and its authors trained on one RTX 6000
@@ -410,6 +416,49 @@ def bench_train_steps(model, config, dataset, n_steps, batch_size):
     return dt, detail
 
 
+def bench_eval_render(model, config, dataset, n_images=3):
+    """Time the chunked eval-render path (renderer.render_image).
+
+    Measures the metric the reference prints per eval image
+    (`internal/models.py:2522-2523`: render s/image and ms/ray): one
+    compile-warmup image, then `n_images` timed full-image renders through
+    the same chunked host pipeline the Trainer's eval loop uses, including
+    device->host fetches.
+    """
+    import functools
+
+    from neural_radiance_caching_tpu.engine import renderer
+
+    mesh = mesh_lib.create_mesh()
+    variables = jax.jit(functools.partial(model.init, train_frac=1.0, train=False))(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1), pytrees.dummy_rays(16)
+    )
+    variables = mesh_lib.replicate(variables, mesh)
+    render_fn = train_lib.create_render_fn(model, mesh=mesh)
+    batch = dataset.generate_ray_batch(0)
+    rng = jax.random.PRNGKey(11)
+    num_rays = batch.rays.origins.shape[0]
+
+    kwargs = dict(config=config, height=dataset.height, width=dataset.width)
+    renderer.render_image(render_fn, variables, batch.rays, rng, **kwargs)
+    t0 = time.perf_counter()
+    for _ in range(n_images):
+        out = renderer.render_image(render_fn, variables, batch.rays, rng, **kwargs)
+    dt = (time.perf_counter() - t0) / n_images
+
+    gt = np.asarray(batch.rgb).reshape(out["rgb"].shape)
+    mse = float(np.mean((np.clip(out["rgb"], 0, 1) - gt) ** 2))
+    return dt, {
+        "rays_per_image": int(num_rays),
+        "sec_per_image": round(dt, 3),
+        "ms_per_ray": round(dt * 1e3 / num_rays, 5),
+        "render_chunk_size": config.render_chunk_size,
+        # Untrained-model PSNR: only a sanity anchor that the render path
+        # produced an image, not a quality number.
+        "untrained_psnr": round(-10 * np.log10(mse + 1e-12), 2),
+    }
+
+
 def _preflight_device_check(timeout_s=240):
     """Fail fast (not hang) when the TPU tunnel is down.
 
@@ -561,6 +610,32 @@ def _main_default(only=None):
             }))
             return
 
+    # Eval-render throughput (reference "ms/ray" headline,
+    # internal/models.py:2522-2523): flagship cache model, one full test
+    # view through the chunked Welford render path.
+    render_detail = {}
+    if only in (None, "render"):
+        try:
+            r_dataset = datasets.SyntheticSpheres(
+                "test", None, config, num_images=2, resolution=128
+            )
+            r_dt, render_detail = bench_eval_render(
+                build_flagship_cache_model(config), config, r_dataset
+            )
+            render_detail["eval_rays_per_sec"] = round(
+                render_detail["rays_per_image"] / r_dt, 1
+            )
+        except Exception as e:  # never endanger the headline metric
+            render_detail = {"error": f"{type(e).__name__}: {e}"}
+        if only == "render":
+            print(json.dumps({
+                "metric": "eval_rays_per_sec_cache_stage",
+                "value": render_detail.get("eval_rays_per_sec", 0.0),
+                "unit": "rays/sec/chip",
+                "detail": render_detail,
+            }))
+            return
+
     # Transient (InvProp) cache stage: time-binned rendering on the chip.
     tr_config = dataclasses.replace(
         config,
@@ -616,6 +691,7 @@ def _main_default(only=None):
                 tr_detail,
                 train_rays_per_sec=round(tr_rays_per_sec, 1),
             ),
+            "eval_render": render_detail,
             # Measured reference-relative anchors (BASELINE.md has the full
             # methodology; the reference itself cannot run on TPU —
             # internal/geometry.py:255-257 raises — so these are the honest

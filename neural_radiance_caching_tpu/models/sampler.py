@@ -158,6 +158,16 @@ class ProposalVolumeSampler(nn.Module):
 
         if sampling_strategy is None:
             sampling_strategy = self.sampling_strategy
+        max_mlp = max(level[0] for level in sampling_strategy)
+        if max_mlp >= len(self.mlps):
+            raise ValueError(
+                f"sampling_strategy {tuple(sampling_strategy)} indexes MLP "
+                f"{max_mlp} but mlp_params_per_level only defines "
+                f"{len(self.mlps)} MLP(s); bind "
+                "ProposalVolumeSampler.mlp_params_per_level with one entry "
+                "per distinct MLP index (reference sampling.py:60-63 leaves "
+                "this consistency to the user)."
+            )
 
         t_to_s, s_to_t = self._ray_warps(rays, use_raydist_fn)
 
