@@ -18,3 +18,7 @@ echo "rc=$?" >> /tmp/mat_conv_analytic.log
 # P3: active-lighting material convergence (VERDICT #5b).
 timeout 10800 python scripts/material_convergence_check.py 1200 800 --active --mat-batch 1536 > /tmp/mat_conv_active.log 2>&1
 echo "rc=$?" >> /tmp/mat_conv_active.log
+# P4: post-layout-fix material-step trace re-capture (round-2 trace blamed
+# 29% layout copies; the round-3 encoder/scatter work must show it fell).
+timeout 3600 python benchmarks/profile_material_step.py --trace-dir /tmp/mat_trace_r3 > /tmp/mat_prof_r3_postfix.log 2>&1
+echo "rc=$?" >> /tmp/mat_prof_r3_postfix.log
