@@ -66,6 +66,11 @@ MEASURED_ANCHORS = {
     # reference's 0.087 (reference_cpu_bench.py --stage material
     # --layout reference).
     "cpu_anchor_speedup_material_stage": 138.7,
+    # r3: transient cache step, batch 128 / 128 bins, same host CPU, same
+    # architecture (27.9M params both sides): ours 7.31 rays/s vs the
+    # reference's 0.61 (reference_cpu_bench.py --stage transient
+    # --layout reference).
+    "cpu_anchor_speedup_transient_stage": 12.0,
     "layout_ab_speedup_range": [6.9, 12.6],      # r2: flagship vs reference layout, on-chip
 }
 
