@@ -516,9 +516,12 @@ def _make_encode_vjp(statics):
                 ct_lf[..., None, :, :] / m, x.shape[:-1] + (num_levels, f)
             )
         elif multisample_reduce == "concat":
-            f = ct.shape[-1] // (num_levels * m)
-            ct_lm = ct.reshape(ct.shape[:-1] + (num_levels, m, f))
-            ct_pm = jnp.moveaxis(ct_lm, -2, -3)
+            # The 'concat' forward output is rank-increased — [..., L, M*F]
+            # (level axis kept, multisample/feature packed on the last axis)
+            # — so the incoming cotangent carries L on axis -2 already.
+            f = ct.shape[-1] // m
+            ct_lm = ct.reshape(ct.shape[:-1] + (m, f))  # [..., L, m, f]
+            ct_pm = jnp.moveaxis(ct_lm, -2, -3)  # [..., m, L, f]
         else:
             raise NotImplementedError(multisample_reduce)
 
