@@ -173,6 +173,12 @@ class HashEncoding(nn.Module):
                 multisample_reduce=reduce,
                 interpolation=self.interpolation,
             )
+            if reduce == "concat":
+                # The fused encoder's concat output is rank-increased
+                # [..., L, M*F]; the public contract (reference
+                # math.concat_across_multisamples + level concatenation,
+                # grid_utils.py:896-901) is one flat [..., L*M*F] vector.
+                features = features.reshape(features.shape[:-2] + (-1,))
 
         if self.append_scale or feature_filter is not None:
             # Post-hoc per-level transforms (grid_utils.py:872-892). The fused

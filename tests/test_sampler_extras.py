@@ -125,3 +125,29 @@ def test_feature_filter_zeroes_fine_levels():
     assert np.abs(lvl[:, gated, :]).max() == 0.0
     plain_lvl = np.asarray(out_plain).reshape(8, num_levels, f)
     np.testing.assert_allclose(lvl[:, ~gated, :], plain_lvl[:, ~gated, :], rtol=1e-6)
+
+
+def test_concat_reduce_returns_flat_level_major_features():
+    """per_level_fn=concat_across_multisamples must yield ONE flat
+    [..., L*M*F] vector (reference math.concat_across_multisamples +
+    grid_utils.py:896-901 level concatenation), ordered level-major with
+    (multisample, feature) minor — i.e. each level block equals that
+    level's per-multisample features side by side."""
+    from neural_radiance_caching_tpu.ops import math as nrc_math
+
+    enc = _tiny_grid()
+    m = 4
+    x = jax.random.uniform(jax.random.PRNGKey(3), (5, m, 3), minval=-1, maxval=1)
+    params = enc.init(jax.random.PRNGKey(1), x)
+    out = enc.apply(
+        params, x, per_level_fn=nrc_math.concat_across_multisamples
+    )
+    num_levels = len(enc.grid_sizes)
+    f = enc.num_features
+    assert out.shape == (5, num_levels * m * f)
+    # Per-multisample (no-reduce) features reshaped level-major must match.
+    per_sample = enc.apply(params, x, per_level_fn=None)  # [5, m, L*F]
+    want = np.moveaxis(
+        np.asarray(per_sample).reshape(5, m, num_levels, f), 1, 2
+    ).reshape(5, -1)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-6)
