@@ -142,11 +142,6 @@ class HashEncoding(nn.Module):
                 "hash_levels", init, (num_hash, self.hash_map_size, self.num_features)
             )
 
-        if self.append_scale and reduce == "concat":
-            raise NotImplementedError(
-                "append_scale with concat multisample reduction is unsupported."
-            )
-
         if reduce is None:
             # No reduction: every input point keeps its own feature. Insert a
             # singleton multisample axis; the mean over it is the identity.
@@ -212,8 +207,24 @@ class HashEncoding(nn.Module):
                             + jnp.mean(jax.lax.stop_gradient(vals) ** 2)
                         )
                     )
-                f_scale = (2.0 * weighting - 1.0) * jnp.stack(level_rms)
-                f_lvl = jnp.concatenate([f_lvl, f_scale[..., None]], axis=-1)
+                rms = jnp.stack(level_rms)
+                if reduce == "concat":
+                    # Reference ordering appends the scale feature per
+                    # multisample BEFORE the concat reduce (grid_utils.py:
+                    # 872-888), so each level block becomes M*(F+1) with
+                    # (multisample, feature) minor.
+                    m = x.shape[-2]
+                    f_lvl = f_lvl.reshape(f_lvl.shape[:-1] + (m, -1))
+                    w_lm = jnp.moveaxis(weighting, -2, -1)  # [..., L, M]
+                    f_scale = (2.0 * w_lm - 1.0) * rms[:, None]
+                    f_lvl = jnp.concatenate(
+                        [f_lvl, f_scale[..., None]], axis=-1
+                    ).reshape(f_lvl.shape[:-2] + (-1,))
+                else:
+                    f_scale = (2.0 * weighting - 1.0) * rms
+                    f_lvl = jnp.concatenate(
+                        [f_lvl, f_scale[..., None]], axis=-1
+                    )
 
             if feature_filter is not None:
                 # Zero out fine levels outside the filter radius

@@ -151,3 +151,43 @@ def test_concat_reduce_returns_flat_level_major_features():
         np.asarray(per_sample).reshape(5, m, num_levels, f), 1, 2
     ).reshape(5, -1)
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-6)
+
+
+def test_append_scale_with_concat_reduce():
+    """append_scale + concat: scale features append per (level, multisample)
+    BEFORE the reduce (reference grid_utils.py:872-888), giving level blocks
+    of M*(F+1) with (multisample, feature) minor."""
+    from neural_radiance_caching_tpu.ops import math as nrc_math
+
+    enc = _tiny_grid(append_scale=True)
+    m = 3
+    x = jax.random.uniform(jax.random.PRNGKey(4), (6, m, 3), minval=-1, maxval=1)
+    # Distinct per-multisample footprints so the scale features differ by m.
+    x_scale = jnp.stack(
+        [jnp.full((6, 1), 0.002 * (i + 1)) for i in range(m)], axis=-2
+    )
+    params = enc.init(jax.random.PRNGKey(1), x, x_scale=x_scale)
+    out = enc.apply(
+        params, x, x_scale=x_scale,
+        per_level_fn=nrc_math.concat_across_multisamples,
+    )
+    num_levels = len(enc.grid_sizes)
+    f = enc.num_features
+    assert out.shape == (6, num_levels * m * (f + 1))
+    blocks = np.asarray(out).reshape(6, num_levels, m, f + 1)
+    assert np.isfinite(blocks).all()
+    # The appended channel must vary across multisamples (distinct x_scale)
+    # and be monotone: larger footprint -> smaller weighting -> smaller value.
+    scale_feats = blocks[..., -1]  # [6, L, m]
+    assert (np.diff(scale_feats, axis=-1) <= 1e-6).all()
+    # Feature channels must match the base encoder's concat output.
+    base = _tiny_grid(append_scale=False)
+    params_base = base.init(jax.random.PRNGKey(1), x, x_scale=x_scale)
+    out_base = base.apply(
+        params_base, x, x_scale=x_scale,
+        per_level_fn=nrc_math.concat_across_multisamples,
+    )
+    np.testing.assert_allclose(
+        blocks[..., :f].reshape(6, -1), np.asarray(out_base),
+        rtol=1e-5, atol=1e-6,
+    )
