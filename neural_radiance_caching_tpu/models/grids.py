@@ -104,10 +104,11 @@ class HashEncoding(nn.Module):
             # ops.hashgrid expects [..., M, 1] (broadcasts against level sizes).
             x_scale = x_scale / sizes[0]
 
-        if self.feature_aggregator != "concatenate":
-            raise NotImplementedError(
-                f"feature_aggregator={self.feature_aggregator!r}: only 'concatenate' "
-                "is implemented (the reference default, grid_utils.py:896-901)."
+        if self.feature_aggregator not in ("concatenate", "sum"):
+            raise ValueError(
+                f"feature_aggregator={self.feature_aggregator!r}: the "
+                "reference defines 'concatenate' and 'sum' (grid_utils.py:"
+                "896-901)."
             )
         if self.append_scale and x_scale is None:
             raise ValueError("append_scale=True requires an x_scale input.")
@@ -240,6 +241,14 @@ class HashEncoding(nn.Module):
                 f_lvl = f_lvl * jnp.where(gate, filt, jnp.ones_like(filt))
 
             features = f_lvl.reshape(lead + (-1,))
+
+        if self.feature_aggregator == "sum":
+            # Per-level blocks summed instead of concatenated
+            # (grid_utils.py:898-899); the fused encoder's flat output is
+            # level-major, so one reshape exposes the level axis.
+            features = features.reshape(
+                features.shape[:-1] + (len(grid_sizes), -1)
+            ).sum(axis=-2)
 
         return features * self.precondition_scaling
 

@@ -191,3 +191,19 @@ def test_append_scale_with_concat_reduce():
         blocks[..., :f].reshape(6, -1), np.asarray(out_base),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_sum_feature_aggregator():
+    """feature_aggregator='sum' sums per-level blocks (grid_utils.py:898-899)
+    instead of concatenating them."""
+    enc_cat = _tiny_grid()
+    enc_sum = _tiny_grid(feature_aggregator="sum")
+    x = jax.random.uniform(jax.random.PRNGKey(6), (10, 2, 3), minval=-1, maxval=1)
+    params = enc_cat.init(jax.random.PRNGKey(1), x)
+    out_cat = enc_cat.apply(params, x)
+    out_sum = enc_sum.apply(params, x)
+    num_levels = len(enc_cat.grid_sizes)
+    f = enc_cat.num_features
+    assert out_sum.shape == (10, 2, f)
+    want = np.asarray(out_cat).reshape(10, 2, num_levels, f).sum(axis=-2)
+    np.testing.assert_allclose(np.asarray(out_sum), want, rtol=1e-5, atol=1e-6)
