@@ -136,8 +136,11 @@ def make_config(**overrides):
     return Config(**base)
 
 
-def train_model(model, config, dataset, steps, rng, init_params=None, graft=None):
+def train_model(model, config, dataset, steps, rng, init_params=None, graft=None,
+                ckpt_dir=None):
     import functools
+
+    from neural_radiance_caching_tpu.utils import checkpoints as ckpt_lib
 
     mesh = mesh_lib.create_mesh()
     variables = jax.jit(functools.partial(model.init, train_frac=1.0, train=False))(
@@ -150,11 +153,21 @@ def train_model(model, config, dataset, steps, rng, init_params=None, graft=None
         state = train_lib.restore_partial_checkpoint(
             state, graft, replace_dict={"params/Cache/": "params/"}
         )
+    start_step = 0
+    if ckpt_dir is not None:
+        # Resume after interruptions (the axon tunnel flaps mid-run; an
+        # hour of chip time must survive that). Data batches are freshly
+        # drawn — fine for a convergence check.
+        resume = ckpt_lib.latest_checkpoint_step(ckpt_dir)
+        if resume is not None:
+            state = ckpt_lib.restore_checkpoint(ckpt_dir, state)
+            start_step = min(int(resume), steps)
+            print(f"  resumed {ckpt_dir} at step {start_step}", flush=True)
     state = mesh_lib.replicate(state, mesh)
     train_step = train_lib.create_train_step(model, config, mesh=mesh)
     batcher = mesh_lib.DevicePrefetcher(datasets.RayBatcher(dataset), mesh)
     t0 = time.time()
-    for step in range(steps):
+    for step in range(start_step, steps):
         batch = next(batcher)
         train_frac = step / max(1, steps - 1)
         state, stats = train_step(rng, state, batch, train_frac)
@@ -162,6 +175,10 @@ def train_model(model, config, dataset, steps, rng, init_params=None, graft=None
             loss = float(stats["loss"])
             print(f"  step {step}/{steps} loss={loss:.5f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
+        if ckpt_dir is not None and step and step % 200 == 0:
+            ckpt_lib.save_checkpoint(ckpt_dir, state, step)
+    if ckpt_dir is not None and steps > start_step:
+        ckpt_lib.save_checkpoint(ckpt_dir, state, steps)
     batcher.stop()
     return state
 
@@ -258,7 +275,17 @@ def main():
         cache_model = bench.build_reference_layout_cache_model(config)
     else:
         cache_model = bench.build_flagship_cache_model(config)
-    cache_state = train_model(cache_model, config, train_ds, CACHE_STEPS, rng)
+    tag = "-".join(
+        ["matconv", LAYOUT]
+        + (["analytic"] if ANALYTIC_NORMALS else [])
+        + (["active"] if ACTIVE else [])
+        + [f"{CACHE_STEPS}x{MAT_STEPS}", f"b{BATCH}x{MAT_BATCH}", f"r{RES}"]
+    )
+    ckpt_root = _str_flag("--ckpt-root", f"/tmp/{tag}")
+    cache_state = train_model(
+        cache_model, config, train_ds, CACHE_STEPS, rng,
+        ckpt_dir=f"{ckpt_root}/cache",
+    )
 
     if MAT_STEPS <= 0:
         # Cache-only quality check: report the cache render's test PSNR.
@@ -301,6 +328,7 @@ def main():
     mat_state = train_model(
         mat_model, mat_config, mat_ds, MAT_STEPS,
         jax.random.fold_in(rng, 1), graft={"params": cache_params["params"]},
+        ckpt_dir=f"{ckpt_root}/mat",
     )
 
     test_ds = datasets.SyntheticSpheres("test", None, mat_config, num_images=2,

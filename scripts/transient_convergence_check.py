@@ -113,6 +113,17 @@ def main():
         functools.partial(model.init, train_frac=1.0, train=False)
     )(jax.random.PRNGKey(0), jax.random.PRNGKey(1), pytrees.dummy_rays(16))
     state, _ = train_lib.create_optimizer(config, variables)
+
+    from neural_radiance_caching_tpu.utils import checkpoints as ckpt_lib
+
+    # Resume after interruptions (the axon tunnel flaps mid-run).
+    ckpt_dir = f"/tmp/trconv-{STEPS}x{N_BINS}-b{BATCH}-r{RES}"
+    start_step = 0
+    resume = ckpt_lib.latest_checkpoint_step(ckpt_dir)
+    if resume is not None:
+        state = ckpt_lib.restore_checkpoint(ckpt_dir, state)
+        start_step = min(int(resume), STEPS)
+        print(f"  resumed {ckpt_dir} at step {start_step}", flush=True)
     state = mesh_lib.replicate(state, mesh)
     train_step = train_lib.create_train_step(model, config, mesh=mesh)
     batcher = mesh_lib.DevicePrefetcher(datasets.RayBatcher(train_ds), mesh)
@@ -121,13 +132,17 @@ def main():
     print(f"[transient cache] {STEPS} steps @ batch {BATCH}, "
           f"{N_BINS} bins", flush=True)
     t0 = time.time()
-    for step in range(STEPS):
+    for step in range(start_step, STEPS):
         batch = next(batcher)
         train_frac = step / max(1, STEPS - 1)
         state, stats = train_step(rng, state, batch, train_frac)
         if step % 100 == 0:
             print(f"  step {step}/{STEPS} loss={float(stats['loss']):.5f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
+        if step and step % 200 == 0:
+            ckpt_lib.save_checkpoint(ckpt_dir, state, step)
+    if STEPS > start_step:
+        ckpt_lib.save_checkpoint(ckpt_dir, state, STEPS)
     batcher.stop()
 
     test_ds = datasets.SyntheticSpheres(
