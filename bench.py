@@ -86,6 +86,26 @@ PEAK_FLOPS = {
     "v6e": 918e12,
 }
 
+# Peak HBM bandwidth per chip, bytes/s (public spec sheets). The workload is
+# gather/scatter-bound by design (hash-grid row traffic), so the HBM roofline
+# — not the MXU — is the ceiling the kernels are optimized against.
+PEAK_HBM_BW = {
+    "v4": 1228e9,
+    "v5 lite": 819e9,
+    "v5e": 819e9,
+    "v5p": 2765e9,
+    "v6 lite": 1640e9,
+    "v6e": 1640e9,
+}
+
+
+def _device_lookup(table, default):
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    for key, val in table.items():
+        if key in kind:
+            return val
+    return default
+
 
 def peak_flops(device) -> float:
     kind = getattr(device, "device_kind", "").lower()
@@ -458,8 +478,10 @@ def bench_train_steps(model, config, dataset, n_steps, batch_size):
         mesh_lib.shard_batch(dataset.next_train(), mesh) for _ in range(8)
     ]
 
-    # XLA's own FLOP count for one compiled step (forward+backward+adam).
+    # XLA's own FLOP and byte counts for one compiled step
+    # (forward+backward+adam).
     flops = None
+    bytes_accessed = None
     try:
         cost = train_step.lower(
             rng, state, batches[0], 0.5
@@ -467,6 +489,7 @@ def bench_train_steps(model, config, dataset, n_steps, batch_size):
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0)) or None
+        bytes_accessed = float(cost.get("bytes accessed", 0.0)) or None
     except Exception:
         pass
 
@@ -491,6 +514,15 @@ def bench_train_steps(model, config, dataset, n_steps, batch_size):
     if flops:
         detail["xla_flops_per_step"] = flops
         detail["mfu"] = round(flops / dt / peak_flops(jax.devices()[0]), 4)
+    if bytes_accessed:
+        # XLA-counted operand+output bytes per step. Overcounts true HBM
+        # traffic where fusions keep operands in VMEM, so the roofline
+        # fraction is an upper bound on achieved HBM bandwidth — but for
+        # this gather/scatter-bound workload it is the ceiling that
+        # matters, not the MXU's.
+        detail["xla_bytes_per_step"] = bytes_accessed
+        detail["hbm_roofline_frac"] = round(
+            bytes_accessed / dt / _device_lookup(PEAK_HBM_BW, 819e9), 4)
     return dt, detail
 
 

@@ -1884,9 +1884,25 @@ class PreloadedData(Dataset):
 
 
 class SyntheticSpheres(Dataset):
-    """Procedural analytic scene: lambertian spheres + ground under a point
-    light + ambient. Used for tests/benchmarks; images are ray-traced in
-    numpy at construction time so no data files are needed.
+    """Procedural analytic scene: lambertian spheres under a point light +
+    ambient. Used for tests/benchmarks; images are ray-traced in numpy at
+    construction time so no data files are needed.
+
+    Two shading models (`Config.synthetic_spheres_shading` or the `shading`
+    kwarg):
+
+    * "legacy": ``rgb = albedo * (AMBIENT + (1-AMBIENT) * lambert)`` — no
+      falloff, no shadows. Kept for continuity with earlier measured
+      numbers, but albedo and shading are multiplicatively entangled and
+      the missing inverse-square falloff mismatches the material model's
+      physics, which caps albedo recovery on this scene.
+    * "physical": ``rgb = albedo/pi * (ENV_IRRADIANCE + LIGHT_POWER *
+      lambert * visibility / dist^2)`` with sphere-on-sphere shadow rays —
+      exactly the rendering equation the active material path implements
+      (point light with inverse-square falloff + constant-environment
+      ambient), so inverse rendering is well-posed: shadowed pixels see
+      ambient-only (albedo up to one global scale), lit pixels add the
+      distance-attenuated direct term.
     """
 
     SPHERES = (
@@ -1897,8 +1913,21 @@ class SyntheticSpheres(Dataset):
     )
     LIGHT = np.array([1.5, -1.5, 2.5], np.float32)
     AMBIENT = 0.25
+    # Physical mode: the light sits closer to the spheres so the
+    # inverse-square falloff varies strongly across the scene (d^2 spans
+    # ~2.3-20) and the spheres cast real shadows on each other — both are
+    # the cues that make albedo/shading separation well-posed. The radiant
+    # intensity and constant environment irradiance keep the brightest lit
+    # pixel just under 1.0, so no LDR clipping breaks the physics. The
+    # albedo/pi lambertian normalization is folded into these constants
+    # (i.e. they are pre-multiplied by pi) so stored albedo maps stay
+    # directly comparable across both shading modes.
+    PHYSICAL_LIGHT = np.array([1.0, -1.0, 1.5], np.float32)
+    LIGHT_POWER = 2.2
+    ENV_IRRADIANCE = 0.12
 
-    def __init__(self, split, data_dir, config, num_images=None, resolution=None):
+    def __init__(self, split, data_dir, config, num_images=None, resolution=None,
+                 shading=None):
         if num_images is None:
             num_images = (
                 config.num_dataset_images if config.num_dataset_images > 0 else 16
@@ -1907,7 +1936,33 @@ class SyntheticSpheres(Dataset):
             resolution = 48 // max(1, config.factor)
         self._num_images = num_images
         self._resolution = resolution
+        if shading is None:
+            shading = getattr(config, "synthetic_spheres_shading", "legacy")
+        if shading not in ("legacy", "physical"):
+            raise ValueError(f"Unknown synthetic_spheres_shading {shading!r}")
+        self._shading = shading
+        self._light = self.PHYSICAL_LIGHT if shading == "physical" else self.LIGHT
         super().__init__(split, data_dir, config)
+
+    def _light_visibility(self, points, normals):
+        """1.0 where the segment point->light is unoccluded by any sphere."""
+        vis = np.ones((points.shape[0],), np.float32)
+        to_light = self._light - points
+        dist = np.linalg.norm(to_light, axis=-1)
+        ldir = to_light / dist[:, None]
+        # Offset along the normal so a sphere never shadows itself at its
+        # own surface point.
+        origins = points + 1e-3 * normals
+        for center, radius, _ in self.SPHERES:
+            center = np.array(center, np.float32)
+            oc = origins - center
+            b = np.sum(oc * ldir, -1)
+            c = np.sum(oc * oc, -1) - radius**2
+            disc = b * b - c
+            t = -b - np.sqrt(np.maximum(disc, 0))
+            occluded = (disc > 0) & (t > 1e-3) & (t < dist)
+            vis[occluded] = 0.0
+        return vis
 
     def _trace(self, origins, dirs):
         """Analytic ray tracing of the sphere scene.
@@ -1935,11 +1990,16 @@ class SyntheticSpheres(Dataset):
                 continue
             p = origins[hit] + t[hit, None] * dirs[hit]
             normal = (p - center) / radius
-            to_light = self.LIGHT - p
+            to_light = self._light - p
             dist = np.linalg.norm(to_light, axis=-1, keepdims=True)
             ldir = to_light / dist
             lambert = np.maximum(0.0, np.sum(normal * ldir, -1, keepdims=True))
-            shade = self.AMBIENT + (1 - self.AMBIENT) * lambert
+            if self._shading == "physical":
+                vis = self._light_visibility(p, normal)[:, None]
+                shade = (self.ENV_IRRADIANCE
+                         + self.LIGHT_POWER * lambert * vis / dist**2)
+            else:
+                shade = self.AMBIENT + (1 - self.AMBIENT) * lambert
             rgb[hit] = np.array(albedo, np.float32) * shade
             best_t[hit] = t[hit]
             alpha[hit] = 1.0
@@ -2004,4 +2064,4 @@ class SyntheticSpheres(Dataset):
             self.normal_images = np.stack(normal_maps).astype(np.float32)
         self.pixtocams = pixtocam[None].astype(np.float32)
         self.camtoworlds = camtoworlds
-        self.lights = np.broadcast_to(self.LIGHT, (self._num_images, 3)).copy()
+        self.lights = np.broadcast_to(self._light, (self._num_images, 3)).copy()

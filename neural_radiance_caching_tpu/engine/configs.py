@@ -68,6 +68,12 @@ class Config:
     patch_size: int = 1
     factor: int = 0
     num_dataset_images: int = -1
+    # SyntheticSpheres procedural scene shading: "legacy" (flat ambient +
+    # unattenuated lambert) or "physical" (inverse-square point light +
+    # sphere shadows + constant-environment ambient — the rendering
+    # equation the material model implements, so inverse rendering on the
+    # procedural scene is well-posed).
+    synthetic_spheres_shading: str = "legacy"
     multiscale: bool = False
     multiscale_levels: int = 4
     forward_facing: bool = False

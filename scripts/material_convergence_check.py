@@ -70,6 +70,13 @@ ANALYTIC_NORMALS = "--analytic-normals" in sys.argv
 # scene IS actively lit (albedo * (ambient + lambert)), so the active
 # pipeline is the one under which albedo actually disentangles.
 ACTIVE = "--active" in sys.argv
+# --physical-scene: render the GT with the physically-consistent shading
+# (inverse-square point light + sphere shadows + constant-env ambient —
+# SyntheticSpheres shading="physical"), the rendering equation the material
+# model actually implements. The legacy GT has no falloff and no shadows,
+# which under-constrains albedo no matter how the model is configured.
+PHYSICAL_SCENE = "--physical-scene" in sys.argv
+SCENE_TAG = "physical" if PHYSICAL_SCENE else "legacy"
 
 if ACTIVE:
     _orig_active_params = bench.flagship_cache_params
@@ -131,6 +138,7 @@ def make_config(**overrides):
         compute_albedo_metrics=True,
         compute_normal_metrics=True,
         render_chunk_size=8192,
+        synthetic_spheres_shading="physical" if PHYSICAL_SCENE else "legacy",
     )
     base.update(overrides)
     return Config(**base)
@@ -279,6 +287,7 @@ def main():
         ["matconv", LAYOUT]
         + (["analytic"] if ANALYTIC_NORMALS else [])
         + (["active"] if ACTIVE else [])
+        + (["physical"] if PHYSICAL_SCENE else [])
         + [f"{CACHE_STEPS}x{MAT_STEPS}", f"b{BATCH}x{MAT_BATCH}", f"r{RES}"]
     )
     ckpt_root = _str_flag("--ckpt-root", f"/tmp/{tag}")
@@ -292,7 +301,7 @@ def main():
         test_ds = datasets.SyntheticSpheres("test", None, config, num_images=2,
                                             resolution=RES)
         metrics = eval_material(cache_model, config, cache_state, test_ds)
-        print(f"RESULT layout={LAYOUT} "
+        print(f"RESULT layout={LAYOUT} scene={SCENE_TAG} "
               + " ".join(f"{k}={v:.3f}" for k, v in metrics.items()),
               flush=True)
         return
@@ -334,7 +343,8 @@ def main():
     test_ds = datasets.SyntheticSpheres("test", None, mat_config, num_images=2,
                                         resolution=RES)
     metrics = eval_material(mat_model, mat_config, mat_state, test_ds)
-    print("RESULT " + " ".join(f"{k}={v:.3f}" for k, v in metrics.items()),
+    print(f"RESULT scene={SCENE_TAG} "
+          + " ".join(f"{k}={v:.3f}" for k, v in metrics.items()),
           flush=True)
     if PROBE_DIR:
         emit_probe(mat_model, mat_config, mat_state, test_ds, PROBE_DIR)

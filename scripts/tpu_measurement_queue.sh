@@ -25,3 +25,8 @@ echo "rc=$?" >> /tmp/ab_pallas8k_r3.log
 # P5: active-lighting material convergence (VERDICT #5b).
 timeout 10800 python scripts/material_convergence_check.py 1200 800 --active --mat-batch 1536 > /tmp/mat_conv_active.log 2>&1
 echo "rc=$?" >> /tmp/mat_conv_active.log
+# P6: physically-consistent scene (inverse-square + shadows + constant-env
+# ambient) with the full quality lever stack — the disentanglement number
+# on a GT where inverse rendering is actually well-posed.
+timeout 10800 python scripts/material_convergence_check.py 1200 800 --physical-scene --analytic-normals --active --mat-batch 1536 > /tmp/mat_conv_physical.log 2>&1
+echo "rc=$?" >> /tmp/mat_conv_physical.log

@@ -600,3 +600,75 @@ def test_preloaded_data_arrays(tmp_path):
     batch = ds.next_train()
     assert batch.rgb.shape == (8, 3)
     assert np.isfinite(batch.rays.origins).all()
+
+
+def test_synthetic_spheres_physical_shading():
+    """Physical mode: GT satisfies the material model's rendering equation.
+
+    rgb = albedo * (ENV_IRRADIANCE + LIGHT_POWER * lambert * vis / dist^2)
+    with sphere-on-sphere shadows — so shadowed hit pixels are exactly
+    ambient-only (albedo up to the global ENV scale) and lit pixels carry
+    the inverse-square attenuated direct term. Legacy mode (the default)
+    must be bit-identical to what it always produced.
+    """
+    cfg = Config(
+        dataset_loader="synthetic_spheres",
+        synthetic_spheres_shading="physical",
+        compute_albedo_metrics=True,
+        compute_normal_metrics=True,
+        batch_size=16,
+    )
+    ds = datasets.SyntheticSpheres("train", None, cfg, num_images=4,
+                                   resolution=64)
+    cls = datasets.SyntheticSpheres
+    img, alb, alpha = ds.images, ds.albedo_images, ds.alphas
+    hit = alpha > 0
+    assert hit.any()
+    # LDR-safe: the constants keep the brightest lit pixel under 1.
+    assert float(img.max()) <= 1.0
+    assert float(img.min()) >= 0.0
+
+    # Ambient-only pixels (shadowed or facing away): rgb == albedo * ENV.
+    amb_only = (
+        np.isclose(img, alb * cls.ENV_IRRADIANCE, atol=1e-6).all(-1) & hit
+    )
+    assert amb_only.sum() > 0
+    # And some pixels must carry a direct term (scene is actively lit).
+    lit = hit & ~amb_only
+    assert lit.sum() > 0
+    # Every hit pixel's shade (rgb/albedo) is >= the ambient floor.
+    shade = img[hit] / np.maximum(alb[hit], 1e-6)
+    assert np.all(shade >= cls.ENV_IRRADIANCE - 1e-6)
+    # Direct term is bounded by the closest-approach inverse-square falloff.
+    min_d2 = 1.51 ** 2  # nearest surface point to the light (sphere 1)
+    assert np.all(shade <= cls.ENV_IRRADIANCE + cls.LIGHT_POWER / min_d2 + 1e-6)
+
+    # True cast shadows exist: ambient-only pixels whose normal faces the
+    # light can only come from occlusion, not orientation. Per-pixel light
+    # directions would need the camera geometry; a sufficient proxy is the
+    # light's direction from the scene centroid with a conservative margin.
+    n = ds.normal_images
+    centroid_ldir = cls.PHYSICAL_LIGHT / np.linalg.norm(cls.PHYSICAL_LIGHT)
+    facing = (n[amb_only] @ centroid_ldir) > 0.3
+    assert facing.sum() > 0
+
+    # Legacy default unchanged: albedo * (AMBIENT + (1-AMBIENT)*lambert).
+    cfg2 = Config(dataset_loader="synthetic_spheres", batch_size=16,
+                  compute_albedo_metrics=True)
+    ds2 = datasets.SyntheticSpheres("train", None, cfg2, num_images=2,
+                                    resolution=32)
+    hit2 = ds2.alphas > 0
+    shade2 = ds2.images[hit2] / np.maximum(ds2.albedo_images[hit2], 1e-6)
+    assert np.all(shade2 >= cls.AMBIENT - 1e-6)
+    assert np.all(shade2 <= 1.0 + 1e-6)
+
+
+def test_synthetic_spheres_bad_shading_rejected():
+    cfg = Config(
+        dataset_loader="synthetic_spheres",
+        synthetic_spheres_shading="volumetric",
+        batch_size=16,
+    )
+    with pytest.raises(ValueError, match="synthetic_spheres_shading"):
+        datasets.SyntheticSpheres("train", None, cfg, num_images=2,
+                                  resolution=16)
