@@ -1,7 +1,8 @@
 """Capture a jax.profiler trace of the material-stage train step and print
 the top self-time ops (gather/scatter vs MXU split).
 
-Usage: python benchmarks/profile_material_step.py [--cache] [--trace-dir D]
+Usage: python benchmarks/profile_material_step.py [--cache | --transient]
+                                                  [--trace-dir D]
 """
 
 import glob
@@ -65,15 +66,34 @@ def summarize_xplane(trace_dir):
 
 
 def main():
+    import dataclasses
+
     cache_only = "--cache" in sys.argv
+    transient = "--transient" in sys.argv
     for i, a in enumerate(sys.argv):
         if a == "--trace-dir":
             globals()["TRACE_DIR"] = sys.argv[i + 1]
 
     config = bench._cache_config()
-    if not cache_only:
-        import dataclasses
-
+    resolution = 128
+    if transient:
+        # Mirror bench.py's transient_stage config exactly so the trace
+        # explains the benched number.
+        config = dataclasses.replace(
+            config,
+            batch_size=bench.TRANSIENT_BATCH_SIZE,
+            use_transient=True,
+            n_bins=bench.TRANSIENT_N_BINS,
+            exposure_time=0.02,
+            learnable_light=True,
+            light_source_position=[0.0, 0.0, 1.0],
+            data_loss_type="rawnerf_transient_unbiased",
+            linear_to_srgb=False,
+        )
+        model = bench.build_flagship_transient_cache_model(config)
+        batch_size = bench.TRANSIENT_BATCH_SIZE
+        resolution = 64
+    elif not cache_only:
         config = dataclasses.replace(
             config, batch_size=bench.MATERIAL_BATCH_SIZE, secondary_far=4.0,
             material_loss_radius=4.0, data_loss_type="rawnerf_unbiased",
@@ -88,7 +108,7 @@ def main():
         batch_size = bench.BATCH_SIZE
 
     dataset = datasets.SyntheticSpheres(
-        "train", None, config, num_images=4, resolution=128
+        "train", None, config, num_images=4, resolution=resolution
     )
     mesh = mesh_lib.create_mesh()
     import functools
