@@ -42,7 +42,7 @@ from neural_radiance_caching_tpu.data import datasets
 from neural_radiance_caching_tpu.engine.configs import Config
 from neural_radiance_caching_tpu.models.material_model import MaterialModel
 from neural_radiance_caching_tpu.models.nerf_model import NeRFModel, TransientNeRFModel
-from neural_radiance_caching_tpu.ops import coord
+from neural_radiance_caching_tpu.ops import coord, render
 from neural_radiance_caching_tpu.parallel import mesh as mesh_lib
 from neural_radiance_caching_tpu.parallel import train as train_lib
 from neural_radiance_caching_tpu.utils import pytrees
@@ -628,6 +628,12 @@ def main():
     import sys
 
     _preflight_device_check()
+    if "--spectral-backend" in sys.argv:
+        # On-chip A/B for the transient indirect shift: native XLA Fft vs
+        # the matmul-DFT (MXU) formulation. Default is "fft".
+        render.set_spectral_backend(
+            sys.argv[sys.argv.index("--spectral-backend") + 1]
+        )
     if "--stage" in sys.argv:
         # Selective single-stage run (debug/re-measurement); the driver's
         # default `python bench.py` line stays the full three-stage metric.

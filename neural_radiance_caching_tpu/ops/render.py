@@ -244,12 +244,55 @@ def shift_transient(transient, bins_move, n_bins):
 
 
 _FFT_TRANSIENT_SHIFT = True
+_SPECTRAL_BACKEND = "fft"  # "fft" (native XLA Fft) | "matmul" (DFT on the MXU)
 
 
 def set_fft_transient_shift(enabled):
     """Toggle the FFT formulation of the indirect transient shift (A/B knob)."""
     global _FFT_TRANSIENT_SHIFT
     _FFT_TRANSIENT_SHIFT = bool(enabled)
+
+
+def set_spectral_backend(name):
+    """Select how the transient shift's forward/inverse DFT is computed.
+
+    "fft" lowers to the native XLA Fft HLO; "matmul" evaluates the real DFT
+    as two dense [bins, freqs] matmuls (and the inverse as their transposes),
+    which rides the MXU — the faster choice if the backend's Fft lowering is
+    slow for these shapes (an on-chip A/B knob, exact to f32 matmul rounding).
+    """
+    global _SPECTRAL_BACKEND
+    if name not in ("fft", "matmul"):
+        raise ValueError(f"unknown spectral backend {name!r}")
+    _SPECTRAL_BACKEND = name
+
+
+def _rdft_matrices(n_in, length, dtype=jnp.float32):
+    """Real-DFT basis: [n_in, F] cos/sin matrices for zero-padded inputs."""
+    b = np.arange(n_in)[:, None]
+    f = np.arange(length // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * b * f / length
+    return jnp.asarray(np.cos(ang), dtype), jnp.asarray(-np.sin(ang), dtype)
+
+
+def _irdft_matrices(length, n_out, dtype=jnp.float32):
+    """Inverse real-DFT basis: [F, n_out] matrices st. x = Xr@Cr + Xi@Ci.
+
+    Standard irfft with hermitian symmetry folded in: interior frequencies
+    count twice, DC and (even-length) Nyquist once.
+    """
+    n_freqs = length // 2 + 1
+    f = np.arange(n_freqs)[:, None]
+    b = np.arange(n_out)[None, :]
+    ang = 2.0 * np.pi * f * b / length
+    scale = np.full((n_freqs, 1), 2.0 / length)
+    scale[0] = 1.0 / length
+    if length % 2 == 0:
+        scale[-1] = 1.0 / length
+    return (
+        jnp.asarray(scale * np.cos(ang), dtype),
+        jnp.asarray(-scale * np.sin(ang), dtype),
+    )
 
 
 def shift_and_integrate_transient(transient, bins_move, weights, n_bins):
@@ -291,17 +334,36 @@ def shift_and_integrate_transient(transient, bins_move, weights, n_bins):
     lo = jnp.floor(delta)
     frac = delta - lo
 
+    # Weighted per-sample phase ramp, as real/imag parts [R, S, F]:
+    # wphase = w * exp(-i w_f lo) * ((1 - frac) + frac * exp(-i w_f)).
     freqs = jnp.arange(length // 2 + 1, dtype=jnp.float32) * (2.0 * jnp.pi / length)
     ang = -freqs[None, None, :] * lo[..., None]  # [R, S, F]
-    base = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
-    step = jax.lax.complex(jnp.cos(freqs), -jnp.sin(freqs))  # e^{-i w}
-    tap = (1.0 - frac[..., None]) + frac[..., None] * step[None, None, :]
-    wphase = base * tap * weights[..., None]  # [R, S, F] complex
+    br, bi = jnp.cos(ang), jnp.sin(ang)
+    fr = frac[..., None]
+    tr = (1.0 - fr) + fr * jnp.cos(freqs)[None, None, :]
+    ti = -fr * jnp.sin(freqs)[None, None, :]
+    wt = weights[..., None]
+    pr = (br * tr - bi * ti) * wt
+    pi = (br * ti + bi * tr) * wt
 
     t = jnp.moveaxis(transient.astype(jnp.float32), -2, -1)  # [R, S, C, B]
-    ft = jnp.fft.rfft(t, n=length, axis=-1)  # [R, S, C, F]
-    acc = (ft * wphase[:, :, None, :]).sum(axis=1)  # [R, C, F]
-    out = jnp.fft.irfft(acc, n=length, axis=-1)[..., :n_bins]
+    if _SPECTRAL_BACKEND == "fft":
+        ft = jnp.fft.rfft(t, n=length, axis=-1)  # [R, S, C, F]
+        wphase = jax.lax.complex(pr, pi)
+        acc = (ft * wphase[:, :, None, :]).sum(axis=1)  # [R, C, F]
+        out = jnp.fft.irfft(acc, n=length, axis=-1)[..., :n_bins]
+    else:
+        # Real DFT as dense matmuls on the MXU (exact up to f32 rounding).
+        hp = jax.lax.Precision.HIGHEST
+        dc, ds = _rdft_matrices(n_bins, length)
+        ftr = jnp.einsum("rscb,bf->rscf", t, dc, precision=hp)
+        fti = jnp.einsum("rscb,bf->rscf", t, ds, precision=hp)
+        accr = (ftr * pr[:, :, None, :] - fti * pi[:, :, None, :]).sum(axis=1)
+        acci = (ftr * pi[:, :, None, :] + fti * pr[:, :, None, :]).sum(axis=1)
+        icr, ici = _irdft_matrices(length, n_bins)
+        out = jnp.einsum("rcf,fb->rcb", accr, icr, precision=hp) + jnp.einsum(
+            "rcf,fb->rcb", acci, ici, precision=hp
+        )
     return jnp.moveaxis(out, -1, -2).astype(transient.dtype)  # [R, n_bins, C]
 
 

@@ -148,39 +148,45 @@ def test_shift_transient_matches_map_coordinates():
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
-def test_shift_and_integrate_matches_gather_path():
-    """The FFT-domain fused shift+integrate must equal the two-tap gather
-    path (shift then weighted sum) in value and in every gradient, across
-    fractional, negative, and out-of-window shifts."""
-    key = jax.random.PRNGKey(2)
-    kt, km, kw = jax.random.split(key, 3)
-    R, S, B, C = 4, 6, 20, 3
-    t = jax.random.uniform(kt, (R, S, B, C))
-    # Spread shifts over [-1.5B, 1.5B]: in-window, negative, and fully
-    # out-of-window rows (which must contribute exactly zero).
-    moves = (jax.random.uniform(km, (R, S)) - 0.5) * 3.0 * B
-    w = jax.random.uniform(kw, (R, S))
+@pytest.mark.parametrize("backend", ["fft", "matmul"])
+def test_shift_and_integrate_matches_gather_path(backend):
+    """The spectral fused shift+integrate (both the native-FFT and the
+    matmul-DFT backends) must equal the two-tap gather path (shift then
+    weighted sum) in value and in every gradient, across fractional,
+    negative, and out-of-window shifts."""
+    render.set_spectral_backend(backend)
+    try:
+        key = jax.random.PRNGKey(2)
+        kt, km, kw = jax.random.split(key, 3)
+        R, S, B, C = 4, 6, 20, 3
+        t = jax.random.uniform(kt, (R, S, B, C))
+        # Spread shifts over [-1.5B, 1.5B]: in-window, negative, and fully
+        # out-of-window rows (which must contribute exactly zero).
+        moves = (jax.random.uniform(km, (R, S)) - 0.5) * 3.0 * B
+        w = jax.random.uniform(kw, (R, S))
 
-    def ref_path(t, moves, w):
-        sh = render.shift_transient(t.reshape(R * S, B, C), moves.reshape(-1), B)
-        return (sh.reshape(R, S, B, C) * w[..., None, None]).sum(1)
+        def ref_path(t, moves, w):
+            sh = render.shift_transient(t.reshape(R * S, B, C), moves.reshape(-1), B)
+            return (sh.reshape(R, S, B, C) * w[..., None, None]).sum(1)
 
-    got = render.shift_and_integrate_transient(t, moves, w, B)
-    ref = ref_path(t, moves, w)
-    np.testing.assert_allclose(got, ref, atol=2e-5)
+        got = render.shift_and_integrate_transient(t, moves, w, B)
+        ref = ref_path(t, moves, w)
+        np.testing.assert_allclose(got, ref, atol=2e-5)
 
-    def loss_new(t, moves, w):
-        probe = jnp.cos(jnp.arange(B * C, dtype=jnp.float32)).reshape(B, C)
-        return (render.shift_and_integrate_transient(t, moves, w, B) * probe).sum()
+        def loss_new(t, moves, w):
+            probe = jnp.cos(jnp.arange(B * C, dtype=jnp.float32)).reshape(B, C)
+            return (render.shift_and_integrate_transient(t, moves, w, B) * probe).sum()
 
-    def loss_ref(t, moves, w):
-        probe = jnp.cos(jnp.arange(B * C, dtype=jnp.float32)).reshape(B, C)
-        return (ref_path(t, moves, w) * probe).sum()
+        def loss_ref(t, moves, w):
+            probe = jnp.cos(jnp.arange(B * C, dtype=jnp.float32)).reshape(B, C)
+            return (ref_path(t, moves, w) * probe).sum()
 
-    g_new = jax.grad(loss_new, argnums=(0, 1, 2))(t, moves, w)
-    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(t, moves, w)
-    for a, b_, name in zip(g_new, g_ref, ("transient", "bins_move", "weights")):
-        np.testing.assert_allclose(a, b_, atol=3e-5, err_msg=name)
+        g_new = jax.grad(loss_new, argnums=(0, 1, 2))(t, moves, w)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(t, moves, w)
+        for a, b_, name in zip(g_new, g_ref, ("transient", "bins_move", "weights")):
+            np.testing.assert_allclose(a, b_, atol=3e-5, err_msg=name)
+    finally:
+        render.set_spectral_backend("fft")
 
 
 def test_transient_train_step_e2e():
