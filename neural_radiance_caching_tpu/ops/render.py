@@ -11,9 +11,13 @@ TPU-first deltas from the reference:
     linear-interpolation weights to two adjacent bins, expressed as
     sample-x-bin weight matrices contracted on the MXU. No scatters.
   * Indirect time shifting (reference `shift_map_coordinates`,
-    render.py:493-507, a map_coordinates gather) is a per-(ray, sample)
-    fractional roll implemented with the same two-tap linear weighting via
-    gather-free convex combination of two static slices.
+    render.py:493-507, a map_coordinates gather) fused with the weighted
+    sample integration (:379-393) in the Fourier domain: per-sample
+    fractional shifts become phase ramps, so the whole shift+reduce is
+    FFTs and elementwise math instead of a rays*samples*bins gather
+    (forward) and scatter-add (backward). `shift_transient` keeps the
+    two-tap gather form for the standalone/vis path and as the A/B
+    reference for the spectral path.
 """
 
 from __future__ import annotations
