@@ -634,6 +634,12 @@ def main():
         render.set_spectral_backend(
             sys.argv[sys.argv.index("--spectral-backend") + 1]
         )
+    if "--remat-save" in sys.argv:
+        # On-chip A/B for the remat policy: comma-separated checkpoint
+        # names to save as residuals, e.g. "grid_encode,ipe_lift".
+        train_lib.set_remat_save_names(
+            *sys.argv[sys.argv.index("--remat-save") + 1].split(",")
+        )
     if "--stage" in sys.argv:
         # Selective single-stage run (debug/re-measurement); the driver's
         # default `python bench.py` line stays the full three-stage metric.

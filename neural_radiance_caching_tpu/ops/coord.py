@@ -239,10 +239,17 @@ def integrated_pos_enc(mean, var, min_deg, max_deg, dtype=None):
     shape = mean.shape[:-1] + (-1,)
     scaled_mean = jnp.reshape(mean[..., None, :] * scales[:, None], shape)
     scaled_var = jnp.reshape(var[..., None, :] * scales[:, None] ** 2, shape)
-    return expected_sin(
+    out = expected_sin(
         jnp.concatenate([scaled_mean, scaled_mean + 0.5 * jnp.pi], axis=-1),
         jnp.concatenate([scaled_var] * 2, axis=-1),
     )
+    # Named so a remat policy can pin the lifted features as saved residuals
+    # (identity outside jax.checkpoint): recomputing the lift in the backward
+    # is cheap in FLOPs but re-materializes the largest elementwise buffers
+    # in the step, which shows up as layout-copy time on TPU.
+    from jax import ad_checkpoint
+
+    return ad_checkpoint.checkpoint_name(out, "ipe_lift")
 
 
 def pos_enc(x, min_deg, max_deg, append_identity=True):

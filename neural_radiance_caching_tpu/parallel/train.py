@@ -37,6 +37,25 @@ from neural_radiance_caching_tpu.ops import math
 from neural_radiance_caching_tpu.utils import jaxutil, pytrees
 
 
+_REMAT_SAVE_NAMES = ("grid_encode",)
+
+
+def set_remat_save_names(*names):
+    """Override which checkpoint_name-tagged residuals the remat policy saves.
+
+    Default is ("grid_encode",) — the hash-grid encoder outputs, which must
+    never re-execute (Pallas scatter VJP single-execution requirement, see
+    the policy comment in create_train_step). Adding "ipe_lift" trades HBM
+    (the lifted IPE feature buffers become saved residuals) for the layout
+    copies the backward's recompute of those buffers costs. On-chip A/B via
+    bench.py --remat-save.
+    """
+    global _REMAT_SAVE_NAMES
+    if "grid_encode" not in names:
+        raise ValueError("remat policy must keep saving 'grid_encode'")
+    _REMAT_SAVE_NAMES = tuple(names)
+
+
 # --- Optimizer -----------------------------------------------------------------
 
 
@@ -360,7 +379,7 @@ def create_train_step(
         ckpt_forward = jax.checkpoint(
             arrays_forward,
             policy=jax.checkpoint_policies.save_only_these_names(
-                "grid_encode"
+                *_REMAT_SAVE_NAMES
             ),
         )
 
