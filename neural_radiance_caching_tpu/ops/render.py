@@ -247,14 +247,27 @@ def shift_transient(transient, bins_move, n_bins):
     )
 
 
-_FFT_TRANSIENT_SHIFT = True
+_FFT_TRANSIENT_SHIFT = None  # None = auto: spectral on TPU, two-tap gather elsewhere
 _SPECTRAL_BACKEND = "fft"  # "fft" (native XLA Fft) | "matmul" (DFT on the MXU)
 
 
 def set_fft_transient_shift(enabled):
-    """Toggle the FFT formulation of the indirect transient shift (A/B knob)."""
+    """Toggle the FFT formulation of the indirect transient shift (A/B knob).
+
+    Pass None to restore the automatic platform default: the spectral path
+    on TPU (where the 45M-row gather/scatter is 42.7x slower, BASELINE.md),
+    the two-tap gather path elsewhere (measured ~2x faster than the FFT on
+    this host's CPU — XLA:CPU handles the gather fine and its Fft doesn't
+    amortize).
+    """
     global _FFT_TRANSIENT_SHIFT
-    _FFT_TRANSIENT_SHIFT = bool(enabled)
+    _FFT_TRANSIENT_SHIFT = None if enabled is None else bool(enabled)
+
+
+def _use_fft_shift():
+    if _FFT_TRANSIENT_SHIFT is None:
+        return jax.default_backend() == "tpu"
+    return _FFT_TRANSIENT_SHIFT
 
 
 def set_spectral_backend(name):
@@ -332,7 +345,13 @@ def shift_and_integrate_transient(transient, bins_move, weights, n_bins):
     """
     r, s, b, c = transient.shape
     assert b == n_bins
-    length = 1 << int(2 * n_bins + 1).bit_length()  # next pow2 >= 2*n_bins + 2
+    if _SPECTRAL_BACKEND == "fft":
+        # Next pow2 >= 2*n_bins + 2: XLA's Fft custom call wants pow2 lengths.
+        length = 1 << int(2 * n_bins + 1).bit_length()
+    else:
+        # The dense-DFT matmuls have no length preference, so use the minimal
+        # alias-free padding (700 bins: 1402 vs 2048 -> 1.46x fewer freqs).
+        length = 2 * n_bins + 2
     half = length - n_bins  # alias-free shift magnitude bound (> n_bins)
     delta = jnp.clip(bins_move.reshape(r, s), -(half - 1.0), half - 2.0)
     lo = jnp.floor(delta)
@@ -472,7 +491,7 @@ def volumetric_transient_rendering(
     if transient_indirect is not None:
         ti = transient_indirect.reshape(n_rays, n_samples, n_bins, num_rgb_channels)
         bins_move = (dists_indirect + shift - indirect_offset) / exposure_time
-        if _FFT_TRANSIENT_SHIFT:
+        if _use_fft_shift():
             transient_indirect_out = shift_and_integrate_transient(
                 ti, bins_move.reshape(n_rays, n_samples), weights_sq, n_bins
             )

@@ -37,23 +37,37 @@ from neural_radiance_caching_tpu.ops import math
 from neural_radiance_caching_tpu.utils import jaxutil, pytrees
 
 
-_REMAT_SAVE_NAMES = ("grid_encode",)
+_REMAT_SAVE_NAMES = None  # None = auto by model type (see _remat_save_names)
 
 
 def set_remat_save_names(*names):
     """Override which checkpoint_name-tagged residuals the remat policy saves.
 
-    Default is ("grid_encode",) — the hash-grid encoder outputs, which must
-    never re-execute (Pallas scatter VJP single-execution requirement, see
-    the policy comment in create_train_step). Adding "ipe_lift" trades HBM
-    (the lifted IPE feature buffers become saved residuals) for the layout
-    copies the backward's recompute of those buffers costs. On-chip A/B via
-    bench.py --remat-save.
+    The auto default (pass None to restore) is model-dependent: material
+    models save ("grid_encode", "ipe_lift") — the on-chip A/B measured
+    saving the lifted-IPE residuals at +4.9% rays/s over recomputing them
+    (BASELINE.md round 3); other models save only "grid_encode", the
+    hash-grid encoder outputs, which must never re-execute (Pallas scatter
+    VJP single-execution requirement, see the policy comment in
+    create_train_step). On-chip A/B via bench.py --remat-save.
     """
     global _REMAT_SAVE_NAMES
+    if names == (None,):
+        _REMAT_SAVE_NAMES = None
+        return
     if "grid_encode" not in names:
         raise ValueError("remat policy must keep saving 'grid_encode'")
     _REMAT_SAVE_NAMES = tuple(names)
+
+
+def _remat_save_names(model):
+    if _REMAT_SAVE_NAMES is not None:
+        return _REMAT_SAVE_NAMES
+    from neural_radiance_caching_tpu.models import material_model
+
+    if isinstance(model, material_model.BaseMaterialModel):
+        return ("grid_encode", "ipe_lift")
+    return ("grid_encode",)
 
 
 # --- Optimizer -----------------------------------------------------------------
@@ -379,7 +393,7 @@ def create_train_step(
         ckpt_forward = jax.checkpoint(
             arrays_forward,
             policy=jax.checkpoint_policies.save_only_these_names(
-                *_REMAT_SAVE_NAMES
+                *_remat_save_names(model)
             ),
         )
 

@@ -277,3 +277,49 @@ def test_analytic_normals_full_geometry_losses():
                 "predicted_normals", "predicted_normals_reverse", "mask"}
     assert expected <= set(stats["losses"]), sorted(stats["losses"])
     assert np.isfinite(float(stats["loss"]))
+
+
+def test_gradient_checkpointing_step_and_save_name_policy():
+    """Remat path: one checkpointed train step runs, and the save-name
+    policy resolves per model type (material saves the IPE-lift residuals,
+    BASELINE.md round-3 A/B) with the override knob validated."""
+    from neural_radiance_caching_tpu.utils import pytrees
+    from test_material_model import make_material_model
+
+    config = Config(
+        dataset_loader="synthetic_spheres",
+        batch_size=64,
+        near=2.0,
+        far=6.0,
+        max_steps=2,
+        data_loss_type="charb",
+        linear_to_srgb=True,
+        mask_lossmult=False,
+        gradient_checkpointing=True,
+    )
+    model = make_tiny_model(config)
+    assert train_lib._remat_save_names(model) == ("grid_encode",)
+    assert train_lib._remat_save_names(make_material_model(config)) == (
+        "grid_encode",
+        "ipe_lift",
+    )
+    with pytest.raises(ValueError):
+        train_lib.set_remat_save_names("ipe_lift")
+    train_lib.set_remat_save_names("grid_encode", "ipe_lift")
+    assert train_lib._remat_save_names(model) == ("grid_encode", "ipe_lift")
+    train_lib.set_remat_save_names(None)  # restore auto
+    assert train_lib._remat_save_names(model) == ("grid_encode",)
+
+    dataset = datasets.SyntheticSpheres("train", None, config, num_images=2,
+                                        resolution=8)
+    mesh = mesh_lib.create_mesh()
+    variables = model.init(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1), pytrees.dummy_rays(8),
+        train_frac=1.0, train=False,
+    )
+    state, _ = train_lib.create_optimizer(config, variables)
+    state = mesh_lib.replicate(state, mesh)
+    step = train_lib.create_train_step(model, config, mesh=mesh)
+    batch = mesh_lib.shard_batch(dataset.next_train(), mesh)
+    state, stats = step(jax.random.PRNGKey(0), state, batch, 0.5)
+    assert np.isfinite(float(stats["loss"]))
