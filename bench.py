@@ -40,7 +40,10 @@ import numpy as np
 
 from neural_radiance_caching_tpu.data import datasets
 from neural_radiance_caching_tpu.engine.configs import Config
-from neural_radiance_caching_tpu.models.material_model import MaterialModel
+from neural_radiance_caching_tpu.models.material_model import (
+    MaterialModel,
+    TransientMaterialModel,
+)
 from neural_radiance_caching_tpu.models.nerf_model import NeRFModel, TransientNeRFModel
 from neural_radiance_caching_tpu.ops import coord, render
 from neural_radiance_caching_tpu.parallel import mesh as mesh_lib
@@ -57,6 +60,7 @@ MATERIAL_BATCH_SIZE = 1536
 # the batch sits well below the steady cache's.
 TRANSIENT_BATCH_SIZE = 2048
 TRANSIENT_N_BINS = 700
+TRANSIENT_MATERIAL_BATCH_SIZE = 512
 WARMUP_STEPS = 3
 BENCH_STEPS = 20
 MATERIAL_BENCH_STEPS = 10
@@ -183,6 +187,7 @@ def _emit_stale_record(reason) -> bool:
                                 measured_utc=cache["measured_utc"]),
             "material_stage": _stage("material"),
             "transient_stage": _stage("transient"),
+            "transient_material_stage": _stage("transient_material"),
             "eval_render": _stage("render"),
             "anchors": MEASURED_ANCHORS,
         },
@@ -399,6 +404,66 @@ def build_flagship_transient_cache_model(config):
     # TransientNeRFModel.resample=False per the cornell stage table.
     cache_params["resample_secondary"] = False
     return TransientNeRFModel(config=config, **cache_params)
+
+
+def build_flagship_transient_material_model(config):
+    """Flagship TRANSIENT material stage (InvProp inverse rendering).
+
+    The reference trains transient materials through the same
+    `material_light_from_scratch` stage table as the steady pipeline
+    (configs/trainer.gin:313-351) with the model classes swapped to their
+    transient variants by Config.use_transient (ref trainer.py:328); the
+    stage table forces use_surface_light_field=False, which forces
+    slf_variate=False (ref trainer.py:291-293) exactly as in the steady
+    bench above — the TransientMaterialModel.slf_variate=True gin binding
+    belongs to the SLF stages. Secondary budgets are the same 4 x
+    sample_factor 8 = 32 per surface point; secondary rays are
+    occlusion-only (Config.occlusions_secondary_only=True, cornell gin:40)
+    so the time-binned buffers only materialize on primaries.
+    """
+    cache_params = flagship_cache_params(config)
+    shader = dict(cache_params["shader_params"])
+    shader.update(
+        use_active=True, use_indirect=True, use_ambient=False,
+        net_depth_irradiance=2, net_width_irradiance=64,
+    )
+    cache_params["shader_params"] = shader
+    cache_params["resample_secondary"] = True
+    strategy = cache_params["train_sampling_strategy"]
+    grid = {
+        "hash_map_size": 524288, "max_grid_size": 2048, "num_features": 4,
+        "scale_supersample": 1.0, "interpolation": "simplex",
+        "bbox_scaling": 2.0,
+    }
+    return TransientMaterialModel(
+        config=config,
+        cache_model_params=cache_params,
+        use_light_sampler=True,
+        light_sampler_params={
+            "net_depth": 2, "net_width": 64, "bottleneck_width": 128,
+            "num_components": 128, "vmf_scale": 20.0,
+            "use_density_feature": False, "use_grid": True,
+            "grid_params": grid, "warp_fn": coord.contract_radius_2,
+        },
+        shader_params={
+            "net_depth": 0, "net_width": 64, "bottleneck_width": 128,
+            "use_density_feature": False, "use_grid": True,
+            "grid_params": grid, "warp_fn": coord.contract_radius_2,
+            "num_secondary_samples": 32,
+            "render_num_secondary_samples": 32,
+            "num_secondary_samples_diff": 4,
+            "render_num_secondary_samples_diff": 4,
+            "cache_train_sampling_strategy": strategy,
+            "cache_render_sampling_strategy": strategy,
+            "net_depth_brdf": 2, "net_width_brdf": 64,
+            "use_brdf_correction": False,
+            "use_active": True, "use_indirect": True,
+        },
+        resample=True,
+        resample_render=True,
+        num_resample=1,
+        slf_variate=False,
+    )
 
 
 def build_reference_layout_transient_cache_model(config):
@@ -836,6 +901,52 @@ def _main_default(only=None):
             }))
             return
 
+    # Transient MATERIAL stage (InvProp inverse rendering): the staged
+    # material model with time-binned data + consistency losses on the chip.
+    tr_mat_config = dataclasses.replace(
+        tr_config,
+        batch_size=TRANSIENT_MATERIAL_BATCH_SIZE,
+        secondary_far=4.0,
+        material_loss_radius=4.0,
+        use_gradient_debias=True,
+        gradient_checkpointing=True,
+        cache_consistency_loss_weight=1.0,
+        cache_consistency_loss_type="mse_unbiased",
+        distortion_loss_mult=0.0,
+        predicted_normal_loss_mult=0.0,
+        predicted_normal_reverse_loss_mult=0.0,
+    )
+    tr_mat_rays_per_sec = None
+    tr_mat_detail = {}
+    if only in (None, "transient_material"):
+        try:
+            tr_mat_dataset = datasets.SyntheticSpheres(
+                "train", None, tr_mat_config, num_images=4, resolution=64
+            )
+            tr_mat_dt, tr_mat_detail = bench_train_steps(
+                build_flagship_transient_material_model(tr_mat_config),
+                tr_mat_config, tr_mat_dataset, TRANSIENT_BENCH_STEPS,
+                TRANSIENT_MATERIAL_BATCH_SIZE,
+            )
+            tr_mat_detail["n_bins"] = TRANSIENT_N_BINS
+            tr_mat_detail["secondary_samples_per_ray"] = 32
+            tr_mat_rays_per_sec = TRANSIENT_MATERIAL_BATCH_SIZE / tr_mat_dt
+            _update_record("transient_material",
+                           round(tr_mat_rays_per_sec, 1), "rays/sec/chip",
+                           tr_mat_detail)
+        except Exception as e:
+            if only == "transient_material":
+                raise
+            tr_mat_detail = {"error": f"{type(e).__name__}: {e}"}
+        if only == "transient_material":
+            print(json.dumps({
+                "metric": "train_rays_per_sec_transient_material_stage",
+                "value": round(tr_mat_rays_per_sec, 1),
+                "unit": "rays/sec/chip",
+                "detail": tr_mat_detail,
+            }))
+            return
+
     result = {
         "metric": "train_rays_per_sec_cache_stage",
         "value": round(rays_per_sec, 1),
@@ -856,6 +967,11 @@ def _main_default(only=None):
                 tr_detail,
                 **({"train_rays_per_sec": round(tr_rays_per_sec, 1)}
                    if tr_rays_per_sec else {}),
+            ),
+            "transient_material_stage": dict(
+                tr_mat_detail,
+                **({"train_rays_per_sec": round(tr_mat_rays_per_sec, 1)}
+                   if tr_mat_rays_per_sec else {}),
             ),
             "eval_render": render_detail,
             # Measured reference-relative anchors (BASELINE.md has the full

@@ -248,7 +248,11 @@ def shift_transient(transient, bins_move, n_bins):
 
 
 _FFT_TRANSIENT_SHIFT = None  # None = auto: spectral on TPU, two-tap gather elsewhere
-_SPECTRAL_BACKEND = "fft"  # "fft" (native XLA Fft) | "matmul" (DFT on the MXU)
+# "matmul" (DFT as dense matmuls on the MXU) | "fft" (native XLA Fft HLO).
+# Matmul is the measured default: at 700 bins it runs the minimal alias-free
+# DFT length (1402 vs the Fft's pow-2 2048) with no layout-constrained custom
+# call — 122.7 vs 215.7 ms/step on v5e (BASELINE.md round-3 A/B).
+_SPECTRAL_BACKEND = "matmul"
 
 
 def set_fft_transient_shift(enabled):

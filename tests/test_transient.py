@@ -154,6 +154,7 @@ def test_shift_and_integrate_matches_gather_path(backend):
     matmul-DFT backends) must equal the two-tap gather path (shift then
     weighted sum) in value and in every gradient, across fractional,
     negative, and out-of-window shifts."""
+    prev_backend = render._SPECTRAL_BACKEND
     render.set_spectral_backend(backend)
     try:
         key = jax.random.PRNGKey(2)
@@ -186,7 +187,7 @@ def test_shift_and_integrate_matches_gather_path(backend):
         for a, b_, name in zip(g_new, g_ref, ("transient", "bins_move", "weights")):
             np.testing.assert_allclose(a, b_, atol=3e-5, err_msg=name)
     finally:
-        render.set_spectral_backend("fft")
+        render.set_spectral_backend(prev_backend)
 
 
 def test_transient_train_step_e2e():
