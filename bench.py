@@ -709,6 +709,25 @@ def main():
         # Selective single-stage run (debug/re-measurement); the driver's
         # default `python bench.py` line stays the full three-stage metric.
         stage = sys.argv[sys.argv.index("--stage") + 1]
+        if "--batch" in sys.argv:
+            # Batch-size A/B for the selected stage only (the default run's
+            # batches stay the recorded flagship ones).
+            const = {
+                "cache": "BATCH_SIZE",
+                "material": "MATERIAL_BATCH_SIZE",
+                "transient": "TRANSIENT_BATCH_SIZE",
+                "transient_material": "TRANSIENT_MATERIAL_BATCH_SIZE",
+            }[stage]
+            globals()[const] = int(sys.argv[sys.argv.index("--batch") + 1])
+        if "--cache-remat" in sys.argv:
+            # Cache-stage A/B: gradient checkpointing on (pairs with a
+            # larger --batch; the default cache bench runs without remat).
+            globals()["CACHE_REMAT"] = True
+        if "--batch" in sys.argv or "--cache-remat" in sys.argv:
+            # A/B runs must not overwrite the persisted per-stage record
+            # (the stale re-emit would report them as the stage numbers);
+            # a winning A/B gets adopted by changing the default constants.
+            globals()["AB_RUN"] = True
         _main_default(only=stage)
         return
     if "--ab-layout" in sys.argv:
@@ -733,10 +752,15 @@ def main():
     _main_default()
 
 
+CACHE_REMAT = False
+AB_RUN = False
+
+
 def _cache_config():
     config = Config(
         dataset_loader="synthetic_spheres",
         batch_size=BATCH_SIZE,
+        gradient_checkpointing=CACHE_REMAT,
         near=2.0,
         far=6.0,
         max_steps=25000,
@@ -771,8 +795,9 @@ def _main_default(only=None):
         )
         cache_detail["samples_per_ray"] = 160
         rays_per_sec = BATCH_SIZE / dt
-        _update_record("cache", round(rays_per_sec, 1), "rays/sec/chip",
-                       cache_detail)
+        if not AB_RUN:
+            _update_record("cache", round(rays_per_sec, 1),
+                           "rays/sec/chip", cache_detail)
         if only == "cache":
             print(json.dumps({
                 "metric": "train_rays_per_sec_cache_stage",
@@ -810,8 +835,9 @@ def _main_default(only=None):
             )
             mat_detail["secondary_samples_per_ray"] = 32
             mat_rays_per_sec = MATERIAL_BATCH_SIZE / mat_dt
-            _update_record("material", round(mat_rays_per_sec, 1),
-                           "rays/sec/chip", mat_detail)
+            if not AB_RUN:
+                _update_record("material", round(mat_rays_per_sec, 1),
+                               "rays/sec/chip", mat_detail)
         except Exception as e:
             # A stage failure must never drop the headline cache metric
             # from the driver-captured JSON line.
@@ -842,8 +868,9 @@ def _main_default(only=None):
             render_detail["eval_rays_per_sec"] = round(
                 render_detail["rays_per_image"] / r_dt, 1
             )
-            _update_record("render", render_detail["eval_rays_per_sec"],
-                           "rays/sec/chip", render_detail)
+            if not AB_RUN:
+                _update_record("render", render_detail["eval_rays_per_sec"],
+                               "rays/sec/chip", render_detail)
         except Exception as e:  # never endanger the headline metric
             render_detail = {"error": f"{type(e).__name__}: {e}"}
         if only == "render":
@@ -886,8 +913,9 @@ def _main_default(only=None):
             )
             tr_detail["n_bins"] = TRANSIENT_N_BINS
             tr_rays_per_sec = TRANSIENT_BATCH_SIZE / tr_dt
-            _update_record("transient", round(tr_rays_per_sec, 1),
-                           "rays/sec/chip", tr_detail)
+            if not AB_RUN:
+                _update_record("transient", round(tr_rays_per_sec, 1),
+                               "rays/sec/chip", tr_detail)
         except Exception as e:
             if only == "transient":
                 raise
@@ -931,9 +959,10 @@ def _main_default(only=None):
             tr_mat_detail["n_bins"] = TRANSIENT_N_BINS
             tr_mat_detail["secondary_samples_per_ray"] = 32
             tr_mat_rays_per_sec = TRANSIENT_MATERIAL_BATCH_SIZE / tr_mat_dt
-            _update_record("transient_material",
-                           round(tr_mat_rays_per_sec, 1), "rays/sec/chip",
-                           tr_mat_detail)
+            if not AB_RUN:
+                _update_record("transient_material",
+                               round(tr_mat_rays_per_sec, 1),
+                               "rays/sec/chip", tr_mat_detail)
         except Exception as e:
             if only == "transient_material":
                 raise
