@@ -45,7 +45,7 @@ from neural_radiance_caching_tpu.models.material_model import (
     TransientMaterialModel,
 )
 from neural_radiance_caching_tpu.models.nerf_model import NeRFModel, TransientNeRFModel
-from neural_radiance_caching_tpu.ops import coord, render
+from neural_radiance_caching_tpu.ops import coord, hashgrid, render
 from neural_radiance_caching_tpu.parallel import mesh as mesh_lib
 from neural_radiance_caching_tpu.parallel import train as train_lib
 from neural_radiance_caching_tpu.utils import pytrees
@@ -705,6 +705,14 @@ def main():
         train_lib.set_remat_save_names(
             *sys.argv[sys.argv.index("--remat-save") + 1].split(",")
         )
+    if "--gather-layout" in sys.argv:
+        # On-chip A/B for the encoder gather orientation: 'features'
+        # (column gathers from [F, rows] tables, the round-3 default) vs
+        # 'rows' (contiguous row gathers + boundary transpose).
+        hashgrid.set_gather_layout(
+            sys.argv[sys.argv.index("--gather-layout") + 1]
+        )
+        globals()["AB_RUN"] = True
     if "--stage" in sys.argv:
         # Selective single-stage run (debug/re-measurement); the driver's
         # default `python bench.py` line stays the full three-stage metric.

@@ -1927,7 +1927,7 @@ class SyntheticSpheres(Dataset):
     ENV_IRRADIANCE = 0.12
 
     def __init__(self, split, data_dir, config, num_images=None, resolution=None,
-                 shading=None):
+                 shading=None, multi_illum=None):
         if num_images is None:
             num_images = (
                 config.num_dataset_images if config.num_dataset_images > 0 else 16
@@ -1942,12 +1942,36 @@ class SyntheticSpheres(Dataset):
             raise ValueError(f"Unknown synthetic_spheres_shading {shading!r}")
         self._shading = shading
         self._light = self.PHYSICAL_LIGHT if shading == "physical" else self.LIGHT
+        if multi_illum is None:
+            multi_illum = getattr(config, "synthetic_spheres_multi_illum", False)
+        self._multi_illum = bool(multi_illum)
         super().__init__(split, data_dir, config)
 
-    def _light_visibility(self, points, normals):
+    def _image_lights(self):
+        """Per-image light positions.
+
+        Fixed light unless multi-illum, where each view is lit from a
+        different azimuth: the base light rotated about z through N evenly
+        spaced angles, with a split-dependent phase so held-out views also
+        hold out their illuminants (a relighting test, not interpolation).
+        """
+        n = self._num_images
+        if not self._multi_illum:
+            return np.broadcast_to(self._light, (n, 3)).copy()
+        phase = 0.0 if self.split == "train" else np.pi / max(n, 1)
+        angles = 2 * np.pi * np.arange(n) / max(n, 1) + phase
+        r = float(np.linalg.norm(self._light[:2]))
+        base = np.arctan2(self._light[1], self._light[0])
+        lights = np.stack(
+            [r * np.cos(base + angles), r * np.sin(base + angles),
+             np.full(n, self._light[2], np.float32)], axis=-1,
+        )
+        return lights.astype(np.float32)
+
+    def _light_visibility(self, points, normals, light):
         """1.0 where the segment point->light is unoccluded by any sphere."""
         vis = np.ones((points.shape[0],), np.float32)
-        to_light = self._light - points
+        to_light = light - points
         dist = np.linalg.norm(to_light, axis=-1)
         ldir = to_light / dist[:, None]
         # Offset along the normal so a sphere never shadows itself at its
@@ -1964,12 +1988,14 @@ class SyntheticSpheres(Dataset):
             vis[occluded] = 0.0
         return vis
 
-    def _trace(self, origins, dirs):
+    def _trace(self, origins, dirs, light=None):
         """Analytic ray tracing of the sphere scene.
 
         Returns (rgb, alpha, t_hit, light_dist): hit distance along the ray
         and surface→light distance feed the transient (time-binned) variant.
         """
+        if light is None:
+            light = self._light
         n = origins.shape[0]
         best_t = np.full((n,), np.inf, np.float32)
         rgb = np.ones((n, 3), np.float32)  # white background
@@ -1990,12 +2016,12 @@ class SyntheticSpheres(Dataset):
                 continue
             p = origins[hit] + t[hit, None] * dirs[hit]
             normal = (p - center) / radius
-            to_light = self._light - p
+            to_light = light - p
             dist = np.linalg.norm(to_light, axis=-1, keepdims=True)
             ldir = to_light / dist
             lambert = np.maximum(0.0, np.sum(normal * ldir, -1, keepdims=True))
             if self._shading == "physical":
-                vis = self._light_visibility(p, normal)[:, None]
+                vis = self._light_visibility(p, normal, light)[:, None]
                 shade = (self.ENV_IRRADIANCE
                          + self.LIGHT_POWER * lambert * vis / dist**2)
             else:
@@ -2041,11 +2067,12 @@ class SyntheticSpheres(Dataset):
         alphas = []
         albedo_maps = []
         normal_maps = []
-        for c2w in camtoworlds:
+        image_lights = self._image_lights()
+        for c2w, light in zip(camtoworlds, image_lights):
             out = camera_utils.pixels_to_rays(pix_x, pix_y, pixtocam[None], c2w[None], xnp=np)
             origins, _, viewdirs = out[0], out[1], out[2]
             rgb, alpha, t_hit, light_dist, albedo, normal = self._trace(
-                origins.reshape(-1, 3), viewdirs.reshape(-1, 3)
+                origins.reshape(-1, 3), viewdirs.reshape(-1, 3), light
             )
             if config.use_transient:
                 transient = self._bin_transient(rgb, alpha, t_hit, light_dist, config)
@@ -2064,4 +2091,4 @@ class SyntheticSpheres(Dataset):
             self.normal_images = np.stack(normal_maps).astype(np.float32)
         self.pixtocams = pixtocam[None].astype(np.float32)
         self.camtoworlds = camtoworlds
-        self.lights = np.broadcast_to(self._light, (self._num_images, 3)).copy()
+        self.lights = image_lights

@@ -74,6 +74,14 @@ class Config:
     # equation the material model implements, so inverse rendering on the
     # procedural scene is well-posed).
     synthetic_spheres_shading: str = "legacy"
+    # Per-image light positions for the procedural scene (physical shading
+    # only): each view is lit from a different azimuth around the scene, the
+    # light-stage setup (reference OpenIllumination, datasets.py:3271-3410)
+    # that disentangles albedo from shading — a shading residual baked into
+    # albedo is inconsistent across illuminants, while a single fixed light
+    # leaves the split under-constrained up to any spatial factor that
+    # matches the one illumination field.
+    synthetic_spheres_multi_illum: bool = False
     multiscale: bool = False
     multiscale_levels: int = 4
     forward_facing: bool = False

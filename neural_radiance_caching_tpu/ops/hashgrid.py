@@ -192,7 +192,7 @@ def _dense_indices(corners, grid_size):
     jax.jit,
     static_argnames=(
         "grid_sizes", "table_size", "dense_offsets", "multisample_reduce",
-        "interpolation",
+        "interpolation", "gather_layout",
     ),
 )
 def _multires_grid_encode_xla(
@@ -206,6 +206,7 @@ def _multires_grid_encode_xla(
     x_scale=None,
     multisample_reduce: Optional[str] = "mean",
     interpolation: str = "trilinear",
+    gather_layout: str = "features",
 ):
     """Encode points against a multiresolution grid/hash pyramid.
 
@@ -232,9 +233,19 @@ def _multires_grid_encode_xla(
     num_hash = num_levels - num_dense
 
     # All internal tensors keep the point axis minor-most (see
-    # _tap_corners_and_weights). Gathers pull COLUMNS from feature-leading
-    # [F, rows] tables so their outputs are [F, L, P] - never a tensor whose
-    # two minor dims are both tiny.
+    # _tap_corners_and_weights). gather_layout picks the table orientation:
+    #   'features': gathers pull COLUMNS from feature-leading [F, rows]
+    #     tables so their outputs are [F, L, P] directly - never a tensor
+    #     whose two minor dims are both tiny.
+    #   'rows': gathers pull ROWS from the natural [rows, F] tables (each
+    #     read is one contiguous F*4-byte line in HBM instead of F words a
+    #     table-length apart) and a transpose restores the [F, L, P] planes.
+    #     The round-3 material trace showed the column gathers dominating
+    #     (12 instances at 143 ms: f32[4, 2621440] operands), motivating
+    #     this A/B'able orientation.
+    if gather_layout not in ("features", "rows"):
+        raise ValueError(f"Unknown gather_layout {gather_layout!r}")
+    by_rows = gather_layout == "rows"
     batch_shape = x.shape[:-2]
     m = x.shape[-2]
     p = int(np.prod(batch_shape, dtype=np.int64)) if batch_shape else 1
@@ -243,11 +254,15 @@ def _multires_grid_encode_xla(
 
     flat_tables_t = None
     if num_hash:
-        flat_tables_t = hash_tables.reshape(-1, hash_tables.shape[-1]).T  # [F, Lh*T]
+        flat_tables_t = hash_tables.reshape(-1, hash_tables.shape[-1])  # [Lh*T, F]
+        if not by_rows:
+            flat_tables_t = flat_tables_t.T  # [F, Lh*T]
         level_offset = jnp.asarray(
             (np.arange(num_hash, dtype=np.int32) * table_size)[:, None]
         )  # [Lh, 1]
-    dense_pool_t = dense_pool.T if num_dense else None  # [F, sum(S^3)]
+    dense_pool_t = None
+    if num_dense:
+        dense_pool_t = dense_pool if by_rows else dense_pool.T  # rows / [F, rows]
 
     if x_scale is not None:
         from neural_radiance_caching_tpu.ops import math as nrc_math
@@ -282,15 +297,26 @@ def _multires_grid_encode_xla(
                     valid_parts.append(valid)
                 d_idx = jnp.stack(idx_parts, axis=0)  # [Ld, P]
                 d_valid = jnp.stack(valid_parts, axis=0)
-                d_feat = jnp.take(dense_pool_t, d_idx, axis=1)  # [F, Ld, P]
+                if by_rows:
+                    d_feat = jnp.moveaxis(
+                        jnp.take(dense_pool_t, d_idx, axis=0), -1, 0
+                    )  # [Ld, P, F] rows -> [F, Ld, P]
+                else:
+                    d_feat = jnp.take(dense_pool_t, d_idx, axis=1)  # [F, Ld, P]
                 parts.append(d_feat * (w[:num_dense] * d_valid)[None])
             if num_hash:
                 hc = corners[num_dense:].astype(jnp.uint32)  # [Lh, 3, P]
                 h = hc[:, 0] ^ (hc[:, 1] * _PI2) ^ (hc[:, 2] * _PI3)
                 h_idx = (h % np.uint32(table_size)).astype(jnp.int32)  # [Lh, P]
-                h_feat = jnp.take(
-                    flat_tables_t, h_idx + level_offset, axis=1
-                )  # [F, Lh, P]
+                if by_rows:
+                    h_feat = jnp.moveaxis(
+                        jnp.take(flat_tables_t, h_idx + level_offset, axis=0),
+                        -1, 0,
+                    )  # [Lh, P, F] rows -> [F, Lh, P]
+                else:
+                    h_feat = jnp.take(
+                        flat_tables_t, h_idx + level_offset, axis=1
+                    )  # [F, Lh, P]
                 parts.append(h_feat * w[num_dense:][None])
             contrib = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
             acc = contrib if acc is None else acc + contrib
@@ -449,7 +475,8 @@ def _make_encode_vjp(statics):
     """custom_vjp wrapper: XLA gathers forward, Pallas scatter backward."""
     from neural_radiance_caching_tpu.ops import scatter_tpu
 
-    (grid_sizes, table_size, dense_offsets, multisample_reduce, interpolation) = statics
+    (grid_sizes, table_size, dense_offsets, multisample_reduce, interpolation,
+     gather_layout) = statics
 
     def fwd_fn(x, hash_tables, dense_pool, x_scale):
         return _multires_grid_encode_xla(
@@ -462,6 +489,7 @@ def _make_encode_vjp(statics):
             x_scale=x_scale,
             multisample_reduce=multisample_reduce,
             interpolation=interpolation,
+            gather_layout=gather_layout,
         )
 
     @jax.custom_vjp
@@ -749,6 +777,21 @@ def set_planes_min_points(value: int) -> None:
     global _PLANES_MIN_POINTS
     _PLANES_MIN_POINTS = int(value)
 
+# Table orientation for the XLA-encoder gathers: 'features' (column gathers
+# from feature-leading [F, rows] tables, plane outputs with the point axis
+# minor) or 'rows' (contiguous row gathers from [rows, F] tables plus a
+# boundary transpose). Static per-trace; see _multires_grid_encode_xla.
+_GATHER_LAYOUT = "features"
+
+
+def set_gather_layout(value: str) -> None:
+    """Override the encoder gather orientation ('features' | 'rows')."""
+    if value not in ("features", "rows"):
+        raise ValueError(f"Unknown gather_layout {value!r}")
+    global _GATHER_LAYOUT
+    _GATHER_LAYOUT = value
+
+
 # When True, multires_grid_encode always takes the pure-XLA path even on a
 # process whose default backend is TPU. Needed when a computation is staged
 # onto non-TPU devices (e.g. the forced-host CPU mesh used by multi-chip dry
@@ -820,10 +863,11 @@ def multires_grid_encode(
             x_scale=x_scale,
             multisample_reduce=multisample_reduce,
             interpolation=interpolation,
+            gather_layout=_GATHER_LAYOUT,
         )
     else:
         statics = (grid_sizes, table_size, dense_offsets, multisample_reduce,
-                   interpolation)
+                   interpolation, _GATHER_LAYOUT)
         if statics not in _ENCODE_VJP_CACHE:
             _ENCODE_VJP_CACHE[statics] = _make_encode_vjp(statics)
         out = _ENCODE_VJP_CACHE[statics](x, hash_tables, dense_pool, x_scale)

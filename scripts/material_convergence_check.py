@@ -76,7 +76,14 @@ ACTIVE = "--active" in sys.argv
 # model actually implements. The legacy GT has no falloff and no shadows,
 # which under-constrains albedo no matter how the model is configured.
 PHYSICAL_SCENE = "--physical-scene" in sys.argv
-SCENE_TAG = "physical" if PHYSICAL_SCENE else "legacy"
+# --multi-illum: each train/test view lit from a different azimuth (the
+# light-stage setup; reference OpenIllumination datasets.py:3271-3410).
+# Physical scene only. The single-light physical run leaves an albedo/
+# shading split that any spatial factor consistent with the one
+# illumination field can satisfy; varying the illuminant across views
+# removes that freedom, so this is the lever for the albedo-PSNR rows.
+MULTI_ILLUM = "--multi-illum" in sys.argv
+SCENE_TAG = ("physical_multi" if MULTI_ILLUM else "physical") if PHYSICAL_SCENE else "legacy"
 
 if ACTIVE:
     _orig_active_params = bench.flagship_cache_params
@@ -139,6 +146,7 @@ def make_config(**overrides):
         compute_normal_metrics=True,
         render_chunk_size=8192,
         synthetic_spheres_shading="physical" if PHYSICAL_SCENE else "legacy",
+        synthetic_spheres_multi_illum=MULTI_ILLUM,
     )
     base.update(overrides)
     return Config(**base)

@@ -397,7 +397,7 @@ def test_merged_leveled_backward_matches_xla_grads(monkeypatch):
     for interp in ("trilinear", "simplex"):
         for reduce in ("mean", "concat"):
             encode = hashgrid._make_encode_vjp(
-                (grid_sizes, T, dense_offsets, reduce, interp)
+                (grid_sizes, T, dense_offsets, reduce, interp, "features")
             )
 
             def xla_encode(x_, ht, dp, xs, _r=reduce, _i=interp):
@@ -487,3 +487,45 @@ def test_planes_backward_matches_xla_grads(monkeypatch):
         np.testing.assert_allclose(
             got_d, want_d, rtol=1e-4, atol=1e-4, err_msg=f"{interp} dense",
         )
+
+
+def test_rows_gather_layout_matches_features():
+    # The two table orientations of the XLA encoder ('features': column
+    # gathers from [F, rows]; 'rows': contiguous row gathers + boundary
+    # transpose) are numerically identical in forward and gradients.
+    key = jax.random.PRNGKey(7)
+    grid_sizes = (8, 16, 32, 64)
+    T, F = 256, 4
+    dense_offsets = (0, 8**3)
+    x = jax.random.uniform(key, (17, 2, 3), minval=-0.1, maxval=1.1)
+    x_scale = jax.random.uniform(jax.random.PRNGKey(8), (17, 2, 1)) * 0.05
+    ht = jax.random.normal(jax.random.PRNGKey(9), (2, T, F))
+    dp = jax.random.normal(jax.random.PRNGKey(10), (8**3 + 16**3, F))
+    for interp in ("trilinear", "simplex"):
+        for reduce in ("mean", "concat", None):
+            for xs in (None, x_scale):
+                kw = dict(
+                    grid_sizes=grid_sizes, table_size=T,
+                    dense_offsets=dense_offsets, x_scale=xs,
+                    multisample_reduce=reduce, interpolation=interp,
+                )
+                a = hashgrid._multires_grid_encode_xla(
+                    x, ht, dp, gather_layout="features", **kw
+                )
+                b = hashgrid._multires_grid_encode_xla(
+                    x, ht, dp, gather_layout="rows", **kw
+                )
+                np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+    def loss(ht_, dp_, layout):
+        out = hashgrid._multires_grid_encode_xla(
+            x, ht_, dp_, gather_layout=layout, grid_sizes=grid_sizes,
+            table_size=T, dense_offsets=dense_offsets,
+            multisample_reduce="mean", interpolation="simplex",
+        )
+        return (out**2).sum()
+
+    ga = jax.grad(loss, argnums=(0, 1))(ht, dp, "features")
+    gb = jax.grad(loss, argnums=(0, 1))(ht, dp, "rows")
+    for u, v in zip(ga, gb):
+        np.testing.assert_allclose(u, v, rtol=1e-5, atol=1e-6)
