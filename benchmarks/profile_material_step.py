@@ -1,8 +1,8 @@
 """Capture a jax.profiler trace of the material-stage train step and print
 the top self-time ops (gather/scatter vs MXU split).
 
-Usage: python benchmarks/profile_material_step.py [--cache | --transient]
-                                                  [--trace-dir D]
+Usage: python benchmarks/profile_material_step.py
+    [--cache | --transient | --transient-material] [--trace-dir D]
 """
 
 import glob
@@ -62,6 +62,13 @@ def summarize_xplane(trace_dir):
             cats[base] = cats.get(base, 0) + t
         for name, t in sorted(cats.items(), key=lambda kv: -kv[1])[:18]:
             print(f"  {100*t/total:5.1f}%  {t/1e9:9.2f} ms  {name}")
+        # Individual hot instances: the category split says WHAT kind of
+        # work dominates; the instance list says WHICH op (full HLO name,
+        # so shapes/opcodes can be looked up in the dumped HLO) — this is
+        # how the round-3 gather/IPE-buffer findings were localized.
+        print("  top instances:")
+        for name, t in sorted(totals.items(), key=lambda kv: -kv[1])[:14]:
+            print(f"    {100*t/total:5.1f}%  {t/1e9:9.2f} ms  {name[:140]}")
         return
 
 
@@ -70,13 +77,40 @@ def main():
 
     cache_only = "--cache" in sys.argv
     transient = "--transient" in sys.argv
+    transient_material = "--transient-material" in sys.argv
     for i, a in enumerate(sys.argv):
         if a == "--trace-dir":
             globals()["TRACE_DIR"] = sys.argv[i + 1]
 
     config = bench._cache_config()
     resolution = 128
-    if transient:
+    if transient_material:
+        # Mirror bench.py's transient_material_stage config exactly so the
+        # trace explains the benched number.
+        config = dataclasses.replace(
+            config,
+            batch_size=bench.TRANSIENT_MATERIAL_BATCH_SIZE,
+            use_transient=True,
+            n_bins=bench.TRANSIENT_N_BINS,
+            exposure_time=0.02,
+            learnable_light=True,
+            light_source_position=[0.0, 0.0, 1.0],
+            data_loss_type="rawnerf_transient_unbiased",
+            linear_to_srgb=False,
+            secondary_far=4.0,
+            material_loss_radius=4.0,
+            use_gradient_debias=True,
+            gradient_checkpointing=True,
+            cache_consistency_loss_weight=1.0,
+            cache_consistency_loss_type="mse_unbiased",
+            distortion_loss_mult=0.0,
+            predicted_normal_loss_mult=0.0,
+            predicted_normal_reverse_loss_mult=0.0,
+        )
+        model = bench.build_flagship_transient_material_model(config)
+        batch_size = bench.TRANSIENT_MATERIAL_BATCH_SIZE
+        resolution = 64
+    elif transient:
         # Mirror bench.py's transient_stage config exactly so the trace
         # explains the benched number.
         config = dataclasses.replace(

@@ -672,3 +672,43 @@ def test_synthetic_spheres_bad_shading_rejected():
     with pytest.raises(ValueError, match="synthetic_spheres_shading"):
         datasets.SyntheticSpheres("train", None, cfg, num_images=2,
                                   resolution=16)
+
+
+def test_synthetic_spheres_multi_illum_lights():
+    """Multi-illum: one distinct light azimuth per view, split-phase-offset
+    so test illuminants are held out; single fixed light otherwise."""
+    from neural_radiance_caching_tpu.engine.configs import Config
+
+    cfg = Config(
+        dataset_loader="synthetic_spheres",
+        synthetic_spheres_shading="physical",
+        synthetic_spheres_multi_illum=True,
+        batch_size=16,
+    )
+    train = datasets.SyntheticSpheres("train", None, cfg, num_images=6,
+                                      resolution=16)
+    test = datasets.SyntheticSpheres("test", None, cfg, num_images=6,
+                                     resolution=16)
+    # Each view gets its own light; all at the base radius/height.
+    assert np.unique(np.round(train.lights, 4), axis=0).shape[0] == 6
+    r = np.linalg.norm(train.lights[:, :2], axis=-1)
+    np.testing.assert_allclose(r, r[0], rtol=1e-5)
+    np.testing.assert_allclose(
+        train.lights[:, 2], datasets.SyntheticSpheres.PHYSICAL_LIGHT[2]
+    )
+    # Held-out illuminants: no test light coincides with a train light.
+    d = np.linalg.norm(
+        train.lights[:, None, :] - test.lights[None, :, :], axis=-1
+    )
+    assert d.min() > 0.1
+    # Shading actually varies with the illuminant: the same scene under
+    # different lights must produce different images beyond view change.
+    fixed = datasets.SyntheticSpheres(
+        "train", None,
+        Config(dataset_loader="synthetic_spheres",
+               synthetic_spheres_shading="physical", batch_size=16),
+        num_images=6, resolution=16,
+    )
+    assert not np.allclose(train.images, fixed.images)
+    np.testing.assert_array_equal(fixed.lights,
+                                  np.tile(fixed.lights[:1], (6, 1)))
