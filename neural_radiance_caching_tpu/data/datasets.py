@@ -1903,6 +1903,12 @@ class SyntheticSpheres(Dataset):
       ambient), so inverse rendering is well-posed: shadowed pixels see
       ambient-only (albedo up to one global scale), lit pixels add the
       distance-attenuated direct term.
+    * "physical_glossy": "physical" with per-sphere microfacet materials
+      (MATERIALS roughness/metalness): GGX D, Schlick F, Smith G with
+      k = a/2 — term-for-term the BRDF the material shader evaluates
+      (ops/render_utils.get_lobe, reference render_utils.py:566-695) — so
+      specular/roughness recovery is testable against analytic GT, the
+      NeRO-glossy axis of the reference's benchmark suite.
     """
 
     SPHERES = (
@@ -1911,6 +1917,10 @@ class SyntheticSpheres(Dataset):
         ((0.7, 0.4, -0.25), 0.3, (0.25, 0.55, 0.9)),
         ((-0.6, -0.5, -0.15), 0.4, (0.3, 0.85, 0.4)),
     )
+    # Per-sphere (roughness, metalness), physical_glossy only: one lambertian
+    # anchor, one polished metal, one mid-gloss dielectric.
+    MATERIALS = ((1.0, 0.0), (0.15, 0.9), (0.4, 0.3))
+    F0_DIELECTRIC = 0.04
     LIGHT = np.array([1.5, -1.5, 2.5], np.float32)
     AMBIENT = 0.25
     # Physical mode: the light sits closer to the spheres so the
@@ -1938,10 +1948,10 @@ class SyntheticSpheres(Dataset):
         self._resolution = resolution
         if shading is None:
             shading = getattr(config, "synthetic_spheres_shading", "legacy")
-        if shading not in ("legacy", "physical"):
+        if shading not in ("legacy", "physical", "physical_glossy"):
             raise ValueError(f"Unknown synthetic_spheres_shading {shading!r}")
         self._shading = shading
-        self._light = self.PHYSICAL_LIGHT if shading == "physical" else self.LIGHT
+        self._light = self.LIGHT if shading == "legacy" else self.PHYSICAL_LIGHT
         if multi_illum is None:
             multi_illum = getattr(config, "synthetic_spheres_multi_illum", False)
         self._multi_illum = bool(multi_illum)
@@ -2003,7 +2013,8 @@ class SyntheticSpheres(Dataset):
         light_dist = np.zeros((n,), np.float32)
         albedo_out = np.ones((n, 3), np.float32)
         normal_out = np.zeros((n, 3), np.float32)
-        for center, radius, albedo in self.SPHERES:
+        rough_out = np.ones((n,), np.float32)
+        for si, (center, radius, albedo) in enumerate(self.SPHERES):
             center = np.array(center, np.float32)
             oc = origins - center
             b = np.sum(oc * dirs, -1)
@@ -2020,19 +2031,56 @@ class SyntheticSpheres(Dataset):
             dist = np.linalg.norm(to_light, axis=-1, keepdims=True)
             ldir = to_light / dist
             lambert = np.maximum(0.0, np.sum(normal * ldir, -1, keepdims=True))
-            if self._shading == "physical":
+            alb = np.array(albedo, np.float32)
+            if self._shading == "physical_glossy":
+                vis = self._light_visibility(p, normal, light)[:, None]
+                rough, metal = self.MATERIALS[si]
+                vdir = -dirs[hit]
+                spec = self._ggx_specular(normal, vdir, ldir, alb, rough, metal)
+                # Stored constants are pre-multiplied by pi (see PHYSICAL_LIGHT
+                # comment), so the un-normalized GGX lobe carries the pi back.
+                diffuse = (1.0 - metal) * alb * lambert
+                rgb[hit] = (
+                    self.ENV_IRRADIANCE * (1.0 - metal) * alb
+                    + self.LIGHT_POWER * vis / dist**2
+                    * (diffuse + np.pi * spec)
+                )
+                rough_out[hit] = rough
+            elif self._shading == "physical":
                 vis = self._light_visibility(p, normal, light)[:, None]
                 shade = (self.ENV_IRRADIANCE
                          + self.LIGHT_POWER * lambert * vis / dist**2)
+                rgb[hit] = alb * shade
             else:
                 shade = self.AMBIENT + (1 - self.AMBIENT) * lambert
-            rgb[hit] = np.array(albedo, np.float32) * shade
+                rgb[hit] = alb * shade
             best_t[hit] = t[hit]
             alpha[hit] = 1.0
             light_dist[hit] = dist[..., 0]
-            albedo_out[hit] = np.array(albedo, np.float32)
+            albedo_out[hit] = alb
             normal_out[hit] = normal
-        return rgb, alpha, best_t, light_dist, albedo_out, normal_out
+        return rgb, alpha, best_t, light_dist, albedo_out, normal_out, rough_out
+
+    def _ggx_specular(self, normal, vdir, ldir, albedo, roughness, metalness):
+        """Microfacet specular lobe, term-for-term ops/render_utils.get_lobe:
+        GGX D, Schlick F on F0 = albedo*metal + 0.04*(1-metal), Smith G with
+        k = a/2 (n.l folded into G's numerator), over 4 n.v."""
+        eps = np.finfo(np.float32).eps
+        h = vdir + ldir
+        h = h / np.maximum(np.linalg.norm(h, axis=-1, keepdims=True), eps)
+        n_v = np.maximum(0.0, np.sum(normal * vdir, -1, keepdims=True))
+        n_l = np.maximum(0.0, np.sum(normal * ldir, -1, keepdims=True))
+        n_h = np.maximum(0.0, np.sum(normal * h, -1, keepdims=True))
+        l_h = np.maximum(0.0, np.sum(ldir * h, -1, keepdims=True))
+        f0 = albedo * metalness + self.F0_DIELECTRIC * (1.0 - metalness)
+        fresnel = f0 + (1.0 - f0) * np.clip(1.0 - l_h, 0.0, 1.0) ** 5
+        a = roughness
+        d = a**2 / np.maximum(eps, np.pi * (n_h**2 * (a**2 - 1.0) + 1.0) ** 2)
+        k = a / 2
+        g = (n_v / np.maximum(eps, n_v * (1.0 - k) + k)) * (
+            n_l / np.maximum(eps, n_l * (1.0 - k) + k)
+        )
+        return d * fresnel * g / np.maximum(eps, 4.0 * n_v)
 
     def _bin_transient(self, rgb, alpha, t_hit, light_dist, config):
         """Scatter the direct response into time bins at the total path
@@ -2067,11 +2115,12 @@ class SyntheticSpheres(Dataset):
         alphas = []
         albedo_maps = []
         normal_maps = []
+        rough_maps = []
         image_lights = self._image_lights()
         for c2w, light in zip(camtoworlds, image_lights):
             out = camera_utils.pixels_to_rays(pix_x, pix_y, pixtocam[None], c2w[None], xnp=np)
             origins, _, viewdirs = out[0], out[1], out[2]
-            rgb, alpha, t_hit, light_dist, albedo, normal = self._trace(
+            rgb, alpha, t_hit, light_dist, albedo, normal, rough = self._trace(
                 origins.reshape(-1, 3), viewdirs.reshape(-1, 3), light
             )
             if config.use_transient:
@@ -2082,11 +2131,15 @@ class SyntheticSpheres(Dataset):
             alphas.append(alpha.reshape(res, res))
             albedo_maps.append(albedo.reshape(res, res, 3))
             normal_maps.append(normal.reshape(res, res, 3))
+            rough_maps.append(rough.reshape(res, res))
         self.images = np.stack(images).astype(np.float32)
         self.alphas = np.stack(alphas).astype(np.float32)
         self.masks = self.alphas[..., None]
         if self._load_albedos:
             self.albedo_images = np.stack(albedo_maps).astype(np.float32)
+            if self._shading == "physical_glossy":
+                # Analytic GT roughness, for specular-recovery metrics.
+                self.roughness_images = np.stack(rough_maps).astype(np.float32)
         if self._load_normals:
             self.normal_images = np.stack(normal_maps).astype(np.float32)
         self.pixtocams = pixtocam[None].astype(np.float32)

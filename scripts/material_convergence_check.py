@@ -83,7 +83,15 @@ PHYSICAL_SCENE = "--physical-scene" in sys.argv
 # illumination field can satisfy; varying the illuminant across views
 # removes that freedom, so this is the lever for the albedo-PSNR rows.
 MULTI_ILLUM = "--multi-illum" in sys.argv
-SCENE_TAG = ("physical_multi" if MULTI_ILLUM else "physical") if PHYSICAL_SCENE else "legacy"
+# --glossy-scene: physical GT with per-sphere microfacet materials
+# (SyntheticSpheres shading="physical_glossy": GGX D / Schlick F / Smith
+# k=a/2 — the exact BRDF ops/render_utils.get_lobe evaluates), plus a GT
+# roughness map, so the check also scores specular/roughness recovery —
+# the NeRO-glossy axis of the reference's benchmarks. Implies physical.
+GLOSSY_SCENE = "--glossy-scene" in sys.argv
+PHYSICAL_SCENE = PHYSICAL_SCENE or GLOSSY_SCENE
+_BASE_TAG = ("glossy" if GLOSSY_SCENE else "physical") if PHYSICAL_SCENE else "legacy"
+SCENE_TAG = _BASE_TAG + ("_multi" if MULTI_ILLUM else "")
 
 if ACTIVE:
     _orig_active_params = bench.flagship_cache_params
@@ -145,7 +153,10 @@ def make_config(**overrides):
         compute_albedo_metrics=True,
         compute_normal_metrics=True,
         render_chunk_size=8192,
-        synthetic_spheres_shading="physical" if PHYSICAL_SCENE else "legacy",
+        synthetic_spheres_shading=(
+            "physical_glossy" if GLOSSY_SCENE
+            else ("physical" if PHYSICAL_SCENE else "legacy")
+        ),
         synthetic_spheres_multi_illum=MULTI_ILLUM,
     )
     base.update(overrides)
@@ -209,7 +220,9 @@ def eval_material(model, config, state, test_ds, view=0):
         height=H, width=W, train_frac=1.0,
     )
     out = {}
-    gt = np.asarray(batch.rgb).reshape(H, W, 3)
+    # LDR PSNR convention: clip BOTH sides — the glossy scene's specular
+    # peaks are HDR (up to ~3.5), trained on unclipped by the HDR losses.
+    gt = np.clip(np.asarray(batch.rgb).reshape(H, W, 3), 0, 1)
     pred = np.clip(np.asarray(rendering["rgb"]).reshape(H, W, 3), 0, 1)
     mse = np.mean((pred - gt) ** 2)
     out["psnr"] = -10 * np.log10(mse + 1e-12)
@@ -223,6 +236,13 @@ def eval_material(model, config, state, test_ds, view=0):
         cal = np.clip(albedo * (num / den), 0, 1)
         mse = np.mean((cal - np.clip(albedo_gt, 0, 1)) ** 2)
         out["albedo_psnr"] = -10 * np.log10(mse + 1e-12)
+
+    rough_gt_maps = getattr(test_ds, "roughness_images", None)
+    if "material_roughness" in rendering and rough_gt_maps is not None:
+        r_pred = np.asarray(rendering["material_roughness"]).reshape(H * W, -1)
+        r_pred = r_pred.mean(-1)[mask]
+        r_gt = rough_gt_maps[view].reshape(-1)[mask]
+        out["roughness_mae"] = float(np.mean(np.abs(r_pred - r_gt)))
 
     key = "normals_to_use" if "normals_to_use" in rendering else "normals"
     if key in rendering and batch.normals is not None:

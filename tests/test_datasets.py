@@ -712,3 +712,56 @@ def test_synthetic_spheres_multi_illum_lights():
     assert not np.allclose(train.images, fixed.images)
     np.testing.assert_array_equal(fixed.lights,
                                   np.tile(fixed.lights[:1], (6, 1)))
+
+
+def test_glossy_scene_brdf_matches_model_lobe():
+    """The glossy GT tracer's specular term must equal the model's own
+    microfacet lobe (ops/render_utils.get_lobe) for the same materials, so
+    roughness/metalness recovery on this scene is a well-posed target."""
+    import jax.numpy as jnp
+
+    from neural_radiance_caching_tpu.engine.configs import Config
+    from neural_radiance_caching_tpu.ops import render_utils
+
+    rng = np.random.RandomState(3)
+    n = 64
+    # Random unit view/light dirs in the upper hemisphere of normal z+.
+    def hemi(m):
+        v = rng.randn(m, 3)
+        v[:, 2] = np.abs(v[:, 2]) + 0.1
+        return (v / np.linalg.norm(v, axis=-1, keepdims=True)).astype(np.float32)
+
+    wo = hemi(n)  # view
+    wi = hemi(n)  # light
+    normal = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (n, 1))
+    albedo = rng.rand(n, 3).astype(np.float32)
+    rough, metal = 0.27, 0.6
+
+    cfg = Config(dataset_loader="synthetic_spheres",
+                 synthetic_spheres_shading="physical_glossy", batch_size=16)
+    ds = datasets.SyntheticSpheres("train", None, cfg, num_images=1,
+                                   resolution=8)
+    got = ds._ggx_specular(normal, wo, wi, albedo, rough, metal)
+
+    shade_cfg = render_utils._shading_config(
+        "microfacet_specular", use_brdf_correction=False,
+        use_diffuseness=False, use_mirrorness=False,
+        use_specular_albedo=False,
+    )
+    materials = {
+        "albedo": jnp.asarray(albedo),
+        "roughness": jnp.full((n, 1), rough),
+        "F_0": jnp.full((n, 1), datasets.SyntheticSpheres.F0_DIELECTRIC),
+        "metalness": jnp.full((n, 1), metal),
+    }
+    # get_lobe adds a samplers axis via materials[..., None, :]; feed wi/wo
+    # with a singleton sample axis to match.
+    want = render_utils.get_lobe(
+        jnp.asarray(wi)[:, None, :], jnp.asarray(wo)[:, None, :],
+        jnp.asarray(normal)[:, None, :], materials,
+        brdf_correction=jnp.ones((n, 1, 2)), config=shade_cfg,
+    )
+    # Model mixes with mirrorness=1 in this config; specular-only compare.
+    np.testing.assert_allclose(
+        got, np.asarray(want)[:, 0, :], rtol=2e-4, atol=2e-5
+    )
