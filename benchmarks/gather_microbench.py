@@ -67,6 +67,33 @@ def main():
          lambda t, i: jnp.take(t, i, axis=0)
          * (i % 7).astype(jnp.float32)[:, None],
          (table_rows, idx_rand)),
+        # The traced train-step instance shape: [Q, F] output gathered from a
+        # feature-major [F, N] table (gather + implicit transpose in one HLO).
+        ("feat_T_f32_random",
+         lambda t, i: jnp.take(t, i, axis=1).T,
+         (table_feat, idx_rand)),
+        # Realistic encoder tap: hash the index in the fusion (mul-xor-mod),
+        # gather, weight — the producer/consumer work a real instance carries.
+        ("rows_f32_hashed",
+         lambda t, i: jnp.take(
+             t, (i.astype(jnp.uint32) * jnp.uint32(2654435761) ^ jnp.uint32(805459861))
+             .astype(jnp.uint32) % jnp.uint32(t.shape[0]),
+             axis=0) * (i % 7).astype(jnp.float32)[:, None],
+         (table_rows, idx_rand)),
+        # 4-tap interpolation from one table (amortized per-tap rate): the
+        # encoder's actual consumer pattern, sum of weighted tap gathers.
+        ("rows_f32_interp4",
+         lambda t, i: sum(
+             jnp.take(t, (i + k) % t.shape[0], axis=0)
+             * ((i % (7 + k)).astype(jnp.float32))[:, None]
+             for k in range(4)),
+         (table_rows, idx_rand)),
+        ("bf16_interp4",
+         lambda t, i: sum(
+             jnp.take(t, (i + k) % t.shape[0], axis=0)
+             * ((i % (7 + k)).astype(jnp.bfloat16))[:, None]
+             for k in range(4)),
+         (table_rows.astype(jnp.bfloat16), idx_rand)),
     ]:
         dt = timeit(fn, *args)
         rows_per_s = queries / dt

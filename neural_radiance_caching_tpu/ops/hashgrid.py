@@ -192,7 +192,7 @@ def _dense_indices(corners, grid_size):
     jax.jit,
     static_argnames=(
         "grid_sizes", "table_size", "dense_offsets", "multisample_reduce",
-        "interpolation", "gather_layout",
+        "interpolation", "gather_layout", "hash_gather_dtype",
     ),
 )
 def _multires_grid_encode_xla(
@@ -207,6 +207,7 @@ def _multires_grid_encode_xla(
     multisample_reduce: Optional[str] = "mean",
     interpolation: str = "trilinear",
     gather_layout: str = "features",
+    hash_gather_dtype: Optional[str] = None,
 ):
     """Encode points against a multiresolution grid/hash pyramid.
 
@@ -255,6 +256,11 @@ def _multires_grid_encode_xla(
     flat_tables_t = None
     if num_hash:
         flat_tables_t = hash_tables.reshape(-1, hash_tables.shape[-1])  # [Lh*T, F]
+        if hash_gather_dtype is not None:
+            # Gate measured in gather_microbench (see _BF16_GATHER_MIN_Q):
+            # the cast wins only at the largest merged-table gathers. The f32
+            # weight multiply below promotes the features back to f32.
+            flat_tables_t = flat_tables_t.astype(hash_gather_dtype)
         if not by_rows:
             flat_tables_t = flat_tables_t.T  # [F, Lh*T]
         level_offset = jnp.asarray(
@@ -476,7 +482,7 @@ def _make_encode_vjp(statics):
     from neural_radiance_caching_tpu.ops import scatter_tpu
 
     (grid_sizes, table_size, dense_offsets, multisample_reduce, interpolation,
-     gather_layout) = statics
+     gather_layout, hash_gather_dtype) = statics
 
     def fwd_fn(x, hash_tables, dense_pool, x_scale):
         return _multires_grid_encode_xla(
@@ -490,6 +496,7 @@ def _make_encode_vjp(statics):
             multisample_reduce=multisample_reduce,
             interpolation=interpolation,
             gather_layout=gather_layout,
+            hash_gather_dtype=hash_gather_dtype,
         )
 
     @jax.custom_vjp
@@ -792,6 +799,27 @@ def set_gather_layout(value: str) -> None:
     _GATHER_LAYOUT = value
 
 
+# Hash-table gathers are HBM-latency-bound, not byte-bound (round-3
+# gather_microbench: ~150-200M rows/s regardless of row width), EXCEPT at the
+# largest merged-table instances where bf16 tables gather 1.34x faster (208 vs
+# 156 M rows/s at [4, 2.6M] tables with Q=7.9M — the material-stage secondary
+# fan-out). At small tables the bf16 emitter collapses (69 M rows/s on a
+# 524k-row table), so the cast is gated on BOTH the per-take query count and
+# the merged table row count. f32 master tables are unchanged: the cast is
+# per-trace on the gather operand only, the Pallas scatter backward still
+# accumulates f32 (the table grad is weights-only, so it is the exact
+# gradient of the rounded forward), and the rounding itself is at the level
+# the bf16 trunks consuming these features already apply.
+_BF16_GATHER_MIN_Q = 4 * 1024 * 1024
+_BF16_GATHER_MIN_ROWS = 2 * 1024 * 1024
+
+
+def set_bf16_gather_min_q(value) -> None:
+    """Override the bf16-gather query-count threshold (None disables)."""
+    global _BF16_GATHER_MIN_Q
+    _BF16_GATHER_MIN_Q = None if value is None else int(value)
+
+
 # When True, multires_grid_encode always takes the pure-XLA path even on a
 # process whose default backend is TPU. Needed when a computation is staged
 # onto non-TPU devices (e.g. the forced-host CPU mesh used by multi-chip dry
@@ -845,13 +873,33 @@ def multires_grid_encode(
     """
     grid_sizes = tuple(int(s) for s in np.asarray(grid_sizes).tolist())
     dense_offsets = tuple(int(o) for o in dense_offsets)
+    on_tpu = jax.default_backend() == "tpu"
     use_kernel = (
         not _FORCE_XLA_ENCODER
-        and jax.default_backend() == "tpu"
+        and on_tpu
         and multisample_reduce in ("mean", "concat")
         and (hash_tables is None or LANES_OK(hash_tables.shape[-1]))
         and (dense_pool is None or LANES_OK(dense_pool.shape[-1]))
     )
+    # Shape-gated bf16 gather operand (see _BF16_GATHER_MIN_Q): the per-take
+    # query count is num_hash_levels * points (one take per tap, all levels
+    # batched), and the merged table must be large enough that the bf16
+    # emitter's big-shape advantage applies.
+    hash_gather_dtype = None
+    if (
+        on_tpu
+        and _BF16_GATHER_MIN_Q is not None
+        and hash_tables is not None
+    ):
+        num_hash = len(grid_sizes) - len(dense_offsets)
+        points = int(np.prod(x.shape[:-2], dtype=np.int64)) if x.shape[:-2] else 1
+        merged_rows = num_hash * int(table_size)
+        if (
+            num_hash * points >= _BF16_GATHER_MIN_Q
+            and merged_rows >= _BF16_GATHER_MIN_ROWS
+            and hash_tables.dtype == jnp.float32
+        ):
+            hash_gather_dtype = "bfloat16"
     if not use_kernel:
         out = _multires_grid_encode_xla(
             x,
@@ -864,10 +912,11 @@ def multires_grid_encode(
             multisample_reduce=multisample_reduce,
             interpolation=interpolation,
             gather_layout=_GATHER_LAYOUT,
+            hash_gather_dtype=hash_gather_dtype,
         )
     else:
         statics = (grid_sizes, table_size, dense_offsets, multisample_reduce,
-                   interpolation, _GATHER_LAYOUT)
+                   interpolation, _GATHER_LAYOUT, hash_gather_dtype)
         if statics not in _ENCODE_VJP_CACHE:
             _ENCODE_VJP_CACHE[statics] = _make_encode_vjp(statics)
         out = _ENCODE_VJP_CACHE[statics](x, hash_tables, dense_pool, x_scale)

@@ -397,7 +397,8 @@ def test_merged_leveled_backward_matches_xla_grads(monkeypatch):
     for interp in ("trilinear", "simplex"):
         for reduce in ("mean", "concat"):
             encode = hashgrid._make_encode_vjp(
-                (grid_sizes, T, dense_offsets, reduce, interp, "features")
+                (grid_sizes, T, dense_offsets, reduce, interp, "features",
+                 None)
             )
 
             def xla_encode(x_, ht, dp, xs, _r=reduce, _i=interp):
@@ -529,3 +530,91 @@ def test_rows_gather_layout_matches_features():
     gb = jax.grad(loss, argnums=(0, 1))(ht, dp, "rows")
     for u, v in zip(ga, gb):
         np.testing.assert_allclose(u, v, rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_hash_gather_close_to_f32_and_dense_exact():
+    # The shape-gated bf16 gather operand (hash_gather_dtype) rounds only the
+    # hash TABLE VALUES at the gather; weights/accumulation stay f32 and the
+    # dense pool is never cast (bf16 gathers collapse on small tables —
+    # round-3 gather_microbench). Forward must match f32 to bf16 rounding;
+    # table grads must be bit-identical (the table grad is weights-only).
+    key = jax.random.PRNGKey(3)
+    grid_sizes = (8, 16, 32, 64)
+    T, F = 256, 4
+    dense_offsets = (0, 8**3)
+    x = jax.random.uniform(key, (33, 1, 3))
+    ht = jax.random.normal(jax.random.PRNGKey(4), (2, T, F))
+    dp = jax.random.normal(jax.random.PRNGKey(5), (8**3 + 16**3, F))
+    kw = dict(
+        grid_sizes=grid_sizes, table_size=T, dense_offsets=dense_offsets,
+        multisample_reduce="mean", interpolation="simplex",
+    )
+    a = hashgrid._multires_grid_encode_xla(x, ht, dp, **kw)
+    b = hashgrid._multires_grid_encode_xla(
+        x, ht, dp, hash_gather_dtype="bfloat16", **kw
+    )
+    assert not np.allclose(a, b, atol=0)  # the cast is actually applied
+    np.testing.assert_allclose(a, b, rtol=0, atol=4 * 2.0**-8)  # bf16 eps
+
+    # Dense-only encode is untouched by the flag.
+    a_d = hashgrid._multires_grid_encode_xla(
+        x, None, dp, grid_sizes=(8, 16), table_size=T, dense_offsets=(0, 8**3),
+        multisample_reduce="mean", interpolation="simplex",
+    )
+    b_d = hashgrid._multires_grid_encode_xla(
+        x, None, dp, grid_sizes=(8, 16), table_size=T, dense_offsets=(0, 8**3),
+        multisample_reduce="mean", interpolation="simplex",
+        hash_gather_dtype="bfloat16",
+    )
+    np.testing.assert_array_equal(a_d, b_d)
+
+    def loss(ht_, dtype):
+        out = hashgrid._multires_grid_encode_xla(
+            x, ht_, dp, hash_gather_dtype=dtype, **kw
+        )
+        return (out**2).sum()
+
+    # Hash-table grads differ only through the cotangent (out is linear in
+    # the table; d out/d table is the f32 tap weights either way).
+    ga = jax.grad(loss)(ht, None)
+    gb = jax.grad(loss)(ht, "bfloat16")
+    np.testing.assert_allclose(ga, gb, rtol=0.1, atol=0.05)
+
+
+def test_bf16_gather_gate_thresholds(monkeypatch):
+    # The public entry enables the cast only on TPU, only above the query
+    # and merged-row thresholds, and only for f32 tables.
+    seen = {}
+    real = hashgrid._multires_grid_encode_xla
+
+    def spy(x, ht, dp, **kw):
+        seen["dtype"] = kw.get("hash_gather_dtype")
+        return real(x, ht, dp, **kw)
+
+    monkeypatch.setattr(hashgrid, "_multires_grid_encode_xla", spy)
+    monkeypatch.setattr(hashgrid.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(hashgrid, "_FORCE_XLA_ENCODER", True)
+    monkeypatch.setattr(hashgrid, "_BF16_GATHER_MIN_Q", 2 * 64)
+    monkeypatch.setattr(hashgrid, "_BF16_GATHER_MIN_ROWS", 2 * 256)
+
+    grid_sizes = (8, 16, 32, 64)
+    T, F = 256, 4
+    ht = jax.random.normal(jax.random.PRNGKey(0), (2, T, F))
+    dp = jax.random.normal(jax.random.PRNGKey(1), (8**3 + 16**3, F))
+    kw = dict(grid_sizes=grid_sizes, table_size=T, dense_offsets=(0, 8**3),
+              multisample_reduce="mean", interpolation="simplex")
+
+    big = jax.random.uniform(jax.random.PRNGKey(2), (64, 1, 3))
+    hashgrid.multires_grid_encode(big, ht, dp, **kw)
+    assert seen["dtype"] == "bfloat16"  # 2 levels * 64 pts >= Q, 512 rows >= R
+
+    small = big[:16]
+    hashgrid.multires_grid_encode(small, ht, dp, **kw)
+    assert seen["dtype"] is None  # below the query threshold
+
+    hashgrid.multires_grid_encode(big, ht.astype(jnp.bfloat16), dp, **kw)
+    assert seen["dtype"] is None  # non-f32 tables never recast
+
+    monkeypatch.setattr(hashgrid.jax, "default_backend", lambda: "cpu")
+    hashgrid.multires_grid_encode(big, ht, dp, **kw)
+    assert seen["dtype"] is None  # CPU: emitter advantage is TPU-specific
