@@ -627,11 +627,24 @@ def bench_eval_render(model, config, dataset, n_images=3):
 
     gt = np.asarray(batch.rgb).reshape(out["rgb"].shape)
     mse = float(np.mean((np.clip(out["rgb"], 0, 1) - gt) ** 2))
+
+    # Interactive-preview program: no extras AOVs compiled, only `rgb`
+    # fetched (the viewer path, engine/viewer.py make_render_fn fast=True).
+    fast_fn = train_lib.create_render_fn(model, mesh=mesh, compute_extras=False)
+    fast_kwargs = dict(kwargs, keys=("rgb",))
+    renderer.render_image(fast_fn, variables, batch.rays, rng, **fast_kwargs)
+    t0 = time.perf_counter()
+    for _ in range(n_images):
+        renderer.render_image(fast_fn, variables, batch.rays, rng, **fast_kwargs)
+    dt_fast = (time.perf_counter() - t0) / n_images
+
     return dt, {
         "rays_per_image": int(num_rays),
         "sec_per_image": round(dt, 3),
         "ms_per_ray": round(dt * 1e3 / num_rays, 5),
         "render_chunk_size": config.render_chunk_size,
+        "rgb_only_sec_per_image": round(dt_fast, 3),
+        "rgb_only_rays_per_sec": round(num_rays / dt_fast, 1),
         # Untrained-model PSNR: only a sanity anchor that the render path
         # produced an image, not a quality number.
         "untrained_psnr": round(-10 * np.log10(mse + 1e-12), 2),

@@ -51,27 +51,44 @@ def render_image(
     chunk = config.render_chunk_size
     # One compiled program: every chunk is padded to `chunk` rows.
     accum: Dict[str, np.ndarray] = {}
-    count = 0
 
-    for start in range(0, num_rays, chunk):
+    starts = list(range(0, num_rays, chunk))
+
+    def _dispatch(count):
+        """Queue all repeats of one chunk on the device (async dispatch);
+        drop unwanted keys BEFORE any host fetch so they are never
+        transferred."""
+        start = starts[count]
         stop = min(start + chunk, num_rays)
         chunk_rays = jax.tree_util.tree_map(
             lambda x: _pad_rows(np.asarray(x[start:stop]), chunk), rays
         )
-        mean_out: Dict[str, np.ndarray] = {}
-        m2_out: Dict[str, np.ndarray] = {}
+        outs = []
         for rep in range(render_repeats):
             rep_rng = jax.random.fold_in(rng, count * 131 + rep)
             out = render_fn(variables, rep_rng, train_frac, chunk_rays)
+            if keys is not None:
+                out = {k: v for k, v in out.items() if k in keys}
+            outs.append(out)
+        return stop - start, outs
+
+    # One-ahead pipeline: while the host fetches + Welford-accumulates chunk
+    # k, the device already works on chunk k+1 (JAX dispatch is async; the
+    # blocking point is the device_get below).
+    pending = _dispatch(0) if starts else None
+    for count in range(len(starts)):
+        rows, rep_outs = pending
+        pending = _dispatch(count + 1) if count + 1 < len(starts) else None
+        mean_out: Dict[str, np.ndarray] = {}
+        m2_out: Dict[str, np.ndarray] = {}
+        for rep, out in enumerate(rep_outs):
             out = jax.device_get(out)
             for k, v in out.items():
-                if keys is not None and k not in keys:
-                    continue
                 if v is None or not hasattr(v, "shape") or v.ndim == 0:
                     continue
                 if v.shape[0] != chunk:
                     continue
-                v = np.nan_to_num(np.asarray(v, np.float32)[: stop - start])
+                v = np.nan_to_num(np.asarray(v, np.float32)[:rows])
                 if k in mean_out:
                     # Welford running mean/M2 over repeats
                     # (reference models.py:2443-2521).
@@ -95,7 +112,6 @@ def render_image(
             accum.setdefault("rgb_variance", []).append(
                 m2_out["rgb"] / max(render_repeats - 1, 1)
             )
-        count += 1
 
     images = {k: np.concatenate(v, axis=0) for k, v in accum.items()}
     if height is not None and width is not None:

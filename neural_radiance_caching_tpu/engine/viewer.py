@@ -41,8 +41,13 @@ def cast_view_rays(pose, h, w, focal, near, far, rng=None, xnp=jnp):
     return camera_utils.cast_ray_batch(cams, lights, pixels, xnp=np)
 
 
-def make_render_fn(model, variables, config, train_frac=1.0):
-    """Jitted free-view render over all passes (viewer.py render_rays)."""
+def make_render_fn(model, variables, config, train_frac=1.0, fast=False):
+    """Jitted free-view render over all passes (viewer.py render_rays).
+
+    fast=True compiles the interactive-preview program: cache pass only,
+    no extras AOVs — the viewer only reads `rgb`, so the material secondary
+    fan-out and the extras buffers are pure latency for orbiting."""
+    passes = ("cache",) if fast else ("cache", "light", "material")
 
     def render_rays(rng, rays):
         out = model.apply(
@@ -51,8 +56,8 @@ def make_render_fn(model, variables, config, train_frac=1.0):
             rays,
             train_frac=train_frac,
             train=False,
-            compute_extras=True,
-            passes=("cache", "light", "material"),
+            compute_extras=not fast,
+            passes=passes,
         )
         return out["render"]
 
@@ -123,12 +128,14 @@ class HttpViewer:
     the device (same contention model as the reference's viser viewer).
     """
 
-    def __init__(self, trainer, port=8082, resolution=128):
+    def __init__(self, trainer, port=8082, resolution=128, fast=True):
         self.trainer = trainer
         self.port = port
         self.resolution = resolution
+        # Interactive default: the cache-only, no-extras program (the page
+        # only shows rgb). fast=False restores the full material render.
         self.render_fn = make_render_fn(
-            trainer.model, trainer.state.params, trainer.config
+            trainer.model, trainer.state.params, trainer.config, fast=fast
         )
 
     def _render_png(self, az, el, radius):

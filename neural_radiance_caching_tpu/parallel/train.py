@@ -547,6 +547,9 @@ def create_render_fn(model, mesh=None, **apply_kwargs):
         mesh = mesh_lib.create_mesh()
     batch_sharding = mesh_lib.batch_sharding(mesh)
     repl = mesh_lib.replicated_sharding(mesh)
+    # compute_extras=False compiles an RGB-centric program (no AOV buffers)
+    # for interactive/preview renders; full extras remain the default.
+    compute_extras = apply_kwargs.pop("compute_extras", True)
 
     def render_fn(params, rng, train_frac, rays):
         return model.apply(
@@ -555,7 +558,7 @@ def create_render_fn(model, mesh=None, **apply_kwargs):
             rays,
             train_frac=train_frac,
             train=False,
-            compute_extras=True,
+            compute_extras=compute_extras,
             **apply_kwargs,
         )["render"]
 
