@@ -27,10 +27,18 @@ _TAGS = [
 
 
 def rankify(x, order):
-    """Vector of values -> ranks with tie handling."""
+    """Vector of values -> ranks with tie handling.
+
+    Deviation from the reference: NaNs are excluded from the rank universe.
+    The reference's version lets NaN occupy the top rank slot (np.unique
+    sorts NaN last, so reversing for higher-is-better puts it first), which
+    silently demotes every real value's color when one method misses a
+    metric. NaN cells are never colored either way (tabilize checks isnan),
+    so this only restores the correct colors for the real values.
+    """
     if order == 0:
         return np.full_like(x, 10**5, dtype=np.int32)
-    u = np.sort(np.unique(x))
+    u = np.sort(np.unique(x[~np.isnan(x)]))
     if order == 1:
         u = u[::-1]
     r = np.zeros_like(x, dtype=np.int32)
