@@ -594,10 +594,12 @@ class Trainer:
 
     # --- checkpoint/save ----------------------------------------------------------
 
-    def save_checkpoint(self, step):
+    def save_checkpoint(self, step, blocking=True):
         if not self.config.checkpoint_dir:
             return
-        ckpt_lib.save_checkpoint(self.config.checkpoint_dir, self._state_tree(), step)
+        ckpt_lib.save_checkpoint(
+            self.config.checkpoint_dir, self._state_tree(), step,
+            blocking=blocking)
 
     # --- eval -----------------------------------------------------------------
 
@@ -1045,7 +1047,9 @@ class Trainer:
                 gc.collect()
 
             if step == 1 or step % config.checkpoint_every == 0:
-                self.save_checkpoint(step)
+                # Async: training resumes as soon as the state is on host;
+                # the directory write rides a background thread.
+                self.save_checkpoint(step, blocking=False)
 
             stats_buffer.append(stats)
             if step == init_step or step % config.print_every == 0:
