@@ -151,3 +151,24 @@ def test_trajectory_cli(tmp_path):
     trajectory_fit.main([str(kf_path), str(out_path), "--smooth", "0.0"])
     data = json.loads(out_path.read_text())
     assert len(data["frames"]) == 8
+
+
+def test_transient_video_frames_tone_mapping(tmp_path):
+    from neural_radiance_caching_tpu.utils import videos_utils as vu
+
+    rng = np.random.default_rng(0)
+    tr = rng.uniform(size=(8, 6, 5, 3)).astype(np.float32)
+    frames = vu.transient_video_frames(tr)
+    assert frames.shape == (5, 8, 6, 3) and frames.dtype == np.uint8
+    # Reference tone map (transient_utils_no_torch.py:143-151): bin/2 +
+    # integrated/4, gamma 1/2.2, clip.
+    t, i, j = 2, 1, 1
+    expect = np.clip(
+        np.clip(tr[i, j, t] / 2.0 + tr[i, j].sum(0) / 4.0, 0, None)
+        ** (1 / 2.2), 0, 1)
+    np.testing.assert_allclose(
+        frames[t, i, j] / 255.0, expect, atol=1 / 255 + 1e-6)
+    # Background-off frames are strictly dimmer.
+    assert vu.transient_video_frames(tr, background=False).mean() < frames.mean()
+    out = tmp_path / "flight.mp4"
+    assert vu.create_video_from_transient(tr, str(out), fps=10)
