@@ -51,6 +51,8 @@ from neural_radiance_caching_tpu.parallel import train as train_lib
 from neural_radiance_caching_tpu.utils import pytrees
 
 BATCH_SIZE = 8192
+# IPE proposal-MLP width (flagship default; --proposal-width A/Bs it).
+PROPOSAL_WIDTH = 256
 # Reference README quick-start trains the material stage at batch 1024; the
 # secondary fan-out (32 secondary rays x full cache hierarchy per surface
 # point) makes activations ~32x a cache ray's, so remat is on for this stage.
@@ -218,7 +220,7 @@ def flagship_cache_params(config):
         "bbox_scaling": 2.0,
     }
     proposal_mlp = {
-        "net_depth": 4, "net_width": 256, "use_grid": False,
+        "net_depth": 4, "net_width": PROPOSAL_WIDTH, "use_grid": False,
         "min_deg_point": 0, "max_deg_point": 8,
         "disable_density_normals": True, "enable_pred_normals": False,
         "normals_for_filter_only": True, "warp_fn": coord.contract_radius_2,
@@ -718,6 +720,16 @@ def main():
         train_lib.set_remat_save_names(
             *sys.argv[sys.argv.index("--remat-save") + 1].split(",")
         )
+    if "--proposal-width" in sys.argv:
+        # On-chip A/B: IPE proposal MLP width. Proposal levels only SHAPE
+        # sampling (no appearance), and their 256-wide activations are the
+        # largest HBM buffers in the cache step after the scatter; a
+        # narrower trunk trades MXU headroom for bytes. Quality guard:
+        # scripts/material_convergence_check.py --proposal-width N.
+        globals()["PROPOSAL_WIDTH"] = int(
+            sys.argv[sys.argv.index("--proposal-width") + 1]
+        )
+        globals()["AB_RUN"] = True
     if "--gather-layout" in sys.argv:
         # On-chip A/B for the encoder gather orientation: 'features'
         # (column gathers from [F, rows] tables, the round-3 default) vs

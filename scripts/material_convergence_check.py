@@ -119,6 +119,11 @@ if ANALYTIC_NORMALS:
 
     bench.flagship_cache_params = _cache_params_analytic
 
+# --proposal-width N: quality guard for the bench's --proposal-width A/B
+# (narrower IPE proposal trunks; cache PSNR must hold for the perf number
+# to count).
+bench.PROPOSAL_WIDTH = _int_flag("--proposal-width", bench.PROPOSAL_WIDTH)
+
 # Batch/resolution overrides make a tiny-shape CPU smoke of any flag combo
 # possible before committing an hour of chip time to it.
 BATCH = _int_flag("--batch", 8192)
