@@ -53,6 +53,9 @@ from neural_radiance_caching_tpu.utils import pytrees
 BATCH_SIZE = 8192
 # IPE proposal-MLP width (flagship default; --proposal-width A/Bs it).
 PROPOSAL_WIDTH = 256
+# Secondary-ray LOD: hash-pyramid level clamp for is_secondary cache
+# queries (None = full pyramid; --secondary-level-clamp A/Bs it).
+SECONDARY_LEVEL_CLAMP = None
 # Reference README quick-start trains the material stage at batch 1024; the
 # secondary fan-out (32 secondary rays x full cache hierarchy per surface
 # point) makes activations ~32x a cache ray's, so remat is on for this stage.
@@ -231,6 +234,7 @@ def flagship_cache_params(config):
     mlp = {
         "net_depth": 2, "net_width": 64, "disable_density_normals": True,
         "enable_pred_normals": True, "warp_fn": coord.contract_radius_2,
+        "secondary_grid_level_clamp": SECONDARY_LEVEL_CLAMP,
     }
     appearance_grid["num_features"] = 4
     slf = {
@@ -720,6 +724,16 @@ def main():
         train_lib.set_remat_save_names(
             *sys.argv[sys.argv.index("--remat-save") + 1].split(",")
         )
+    if "--secondary-level-clamp" in sys.argv:
+        # On-chip A/B: secondary-ray LOD. Clamps the final density pyramid
+        # to its coarsest K levels for secondary cache queries only (fine
+        # hash levels are the dominant gather/scatter cost of the secondary
+        # fan-out). Quality guard: material_convergence_check.py
+        # --secondary-level-clamp K.
+        globals()["SECONDARY_LEVEL_CLAMP"] = int(
+            sys.argv[sys.argv.index("--secondary-level-clamp") + 1]
+        )
+        globals()["AB_RUN"] = True
     if "--proposal-width" in sys.argv:
         # On-chip A/B: IPE proposal MLP width. Proposal levels only SHAPE
         # sampling (no appearance), and their 256-wide activations are the

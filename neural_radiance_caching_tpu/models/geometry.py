@@ -79,6 +79,12 @@ class BaseDensityMLP(nn.Module):
 
     use_feature_filter: bool = False
     use_feature_filter_secondary_only: bool = True
+    # Secondary-ray LOD (TPU-first knob, no reference counterpart): clamp
+    # the hash pyramid to its coarsest K levels for is_secondary queries.
+    # Wide secondary footprints erf-suppress fine levels anyway, and the
+    # fine hash levels are the dominant gather/scatter cost of the material
+    # stage's secondary fan-out (BASELINE.md round-3 traces).
+    secondary_grid_level_clamp: Optional[int] = None
     use_feature_filter_far_field: bool = False
     feature_filter_radius: float = float("inf")
     feature_filter_size: int = 64
@@ -153,6 +159,9 @@ class BaseDensityMLP(nn.Module):
                     if self.warp_fn is not None:
                         far = self.warp_fn(far)
                     control = jnp.where(feature_filter, control, far)
+            grid_kwargs = {}
+            if is_secondary and self.secondary_grid_level_clamp is not None:
+                grid_kwargs["max_levels"] = self.secondary_grid_level_clamp
             x.append(
                 self.grid(
                     control,
@@ -160,6 +169,7 @@ class BaseDensityMLP(nn.Module):
                     per_level_fn=math.average_across_multisamples,
                     feature_filter=feature_filter,
                     feature_filter_size=self.feature_filter_size,
+                    **grid_kwargs,
                 )
             )
         if self.grid is None or self.use_posenc_with_grid:

@@ -84,15 +84,28 @@ class HashEncoding(nn.Module):
         train_frac=1.0,
         feature_filter=None,
         feature_filter_size=None,
+        max_levels=None,
     ):
         """Encode [..., M, 3] world points into [..., L*F] features.
 
         `per_level_fn` only supports the reference's multisample reductions
         (math.average_across_multisamples / concat / identity); the fused
         kernel applies the reduction internally.
+
+        max_levels: statically clamp the pyramid to its coarsest K levels —
+        only those are gathered (and receive scatter updates in the
+        backward); the finer levels' output features are zeros, so the
+        consuming MLP's input width (and its weights) are unchanged. This is
+        the secondary-ray LOD knob: wide secondary footprints already erf-
+        suppress fine-level features, and hash gathers+scatters are the
+        material stage's dominant cost (BASELINE.md round-3 traces). No
+        reference counterpart (its grids have no level clamp).
         """
         del train, train_frac
         grid_sizes = self.grid_sizes
+        full_num_levels = len(grid_sizes)
+        if max_levels is not None and max_levels < full_num_levels:
+            grid_sizes = grid_sizes[:max_levels]
         bbox = self.bbox
         # Map to [0, 1]^3 (grid_utils.py:820).
         x = (x - bbox[0]) / (bbox[1] - bbox[0])
@@ -128,20 +141,36 @@ class HashEncoding(nn.Module):
             else:
                 raise NotImplementedError(f"Unsupported per_level_fn {per_level_fn}")
 
-        num_dense = self.num_dense_levels
-        num_hash = len(grid_sizes) - num_dense
+        # Parameters are ALWAYS the full pyramid (call args must not change
+        # flax param shapes); a level clamp slices them for this call, and
+        # the slice VJP zero-pads the clamped levels' gradients.
+        num_dense_full = self.num_dense_levels
+        num_hash_full = full_num_levels - num_dense_full
+        full_sizes = self.grid_sizes.astype(np.int64)
         maxval = self.hash_init_range / self.precondition_scaling
         init = lambda key, shape: jax.random.uniform(key, shape, minval=-maxval, maxval=maxval)
 
+        num_dense = min(num_dense_full, len(grid_sizes))
+        num_hash = len(grid_sizes) - num_dense
+        dense_offsets = self.dense_offsets[:num_dense]
         dense_pool = None
-        if num_dense:
-            total = int((grid_sizes.astype(np.int64)[:num_dense] ** 3).sum())
-            dense_pool = self.param("dense_levels", init, (total, self.num_features))
-        hash_tables = None
-        if num_hash:
-            hash_tables = self.param(
-                "hash_levels", init, (num_hash, self.hash_map_size, self.num_features)
+        if num_dense_full:
+            total_full = int((full_sizes[:num_dense_full] ** 3).sum())
+            dense_pool = self.param(
+                "dense_levels", init, (total_full, self.num_features)
             )
+            total = int((full_sizes[:num_dense] ** 3).sum())
+            if total != total_full:
+                dense_pool = dense_pool[:total]
+            dense_pool = dense_pool if num_dense else None
+        hash_tables = None
+        if num_hash_full:
+            hash_tables = self.param(
+                "hash_levels", init,
+                (num_hash_full, self.hash_map_size, self.num_features),
+            )
+            if num_hash != num_hash_full:
+                hash_tables = hash_tables[:num_hash] if num_hash else None
 
         if reduce is None:
             # No reduction: every input point keeps its own feature. Insert a
@@ -152,7 +181,7 @@ class HashEncoding(nn.Module):
                 dense_pool,
                 grid_sizes=tuple(int(s) for s in grid_sizes),
                 table_size=self.hash_map_size,
-                dense_offsets=self.dense_offsets,
+                dense_offsets=dense_offsets,
                 x_scale=None if x_scale is None else x_scale[..., None, :],
                 multisample_reduce="mean",
                 interpolation=self.interpolation,
@@ -164,7 +193,7 @@ class HashEncoding(nn.Module):
                 dense_pool,
                 grid_sizes=tuple(int(s) for s in grid_sizes),
                 table_size=self.hash_map_size,
-                dense_offsets=self.dense_offsets,
+                dense_offsets=dense_offsets,
                 x_scale=x_scale,
                 multisample_reduce=reduce,
                 interpolation=self.interpolation,
@@ -249,6 +278,15 @@ class HashEncoding(nn.Module):
             features = features.reshape(
                 features.shape[:-1] + (len(grid_sizes), -1)
             ).sum(axis=-2)
+        elif len(grid_sizes) < full_num_levels:
+            # Level clamp: zero features for the skipped fine levels so the
+            # output width stays L*F' and the consuming MLP is unchanged.
+            per_level_width = features.shape[-1] // len(grid_sizes)
+            pad = (full_num_levels - len(grid_sizes)) * per_level_width
+            features = jnp.pad(
+                features,
+                [(0, 0)] * (features.ndim - 1) + [(0, pad)],
+            )
 
         return features * self.precondition_scaling
 

@@ -494,7 +494,8 @@ class BaseNeRFMLP(shading.BaseShader):
         key, rng = jaxutil.random_split(rng)
         pa_kwargs = self.get_predict_appearance_kwargs(key, rays, sampler_results)
         feature = self.predict_appearance_feature(
-            sampler_results, train=train, train_frac=train_frac, **pa_kwargs
+            sampler_results, train=train, train_frac=train_frac,
+            is_secondary=bool(is_secondary), **pa_kwargs
         )
 
         if self.config.multi_illumination and self.use_illumination_feature:

@@ -6,7 +6,7 @@ Behavioral parity target: reference internal/shading.py (BaseShader).
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +34,10 @@ class BaseShader(nn.Module):
     max_deg_point: int = 4
     skip_layer: int = 4
     use_posenc_with_grid: bool = False
+    # Secondary-ray LOD: clamp the appearance hash pyramid to its coarsest K
+    # levels for is_secondary queries (see geometry.BaseDensityMLP —
+    # same knob, same rationale; no reference counterpart).
+    secondary_grid_level_clamp: Optional[int] = None
 
     num_rgb_channels: int = 3
     rgb_premultiplier: float = 1.0
@@ -92,7 +96,8 @@ class BaseShader(nn.Module):
                 x = jnp.concatenate([x, inputs], axis=-1)
         return x
 
-    def predict_appearance_feature(self, sampler_results, train=True, train_frac=1.0, **kwargs):
+    def predict_appearance_feature(self, sampler_results, train=True, train_frac=1.0,
+                                   is_secondary=False, **kwargs):
         """Per-sample appearance feature: density feature ⊕ own grid ⊕ posenc."""
         means, covs = sampler_results["means"], sampler_results["covs"]
         if self.isotropize_gaussians:
@@ -123,6 +128,9 @@ class BaseShader(nn.Module):
                         scale = self.unscented_scale_mult * perp_mag[..., None]
                 else:
                     control = self.warp_fn(control)
+            grid_kwargs = {}
+            if is_secondary and self.secondary_grid_level_clamp is not None:
+                grid_kwargs["max_levels"] = self.secondary_grid_level_clamp
             x.append(
                 self.grid(
                     control,
@@ -130,6 +138,7 @@ class BaseShader(nn.Module):
                     per_level_fn=math.average_across_multisamples,
                     train=train,
                     train_frac=train_frac,
+                    **grid_kwargs,
                 )
             )
             if self.use_posenc_with_grid:

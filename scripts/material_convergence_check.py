@@ -123,6 +123,12 @@ if ANALYTIC_NORMALS:
 # (narrower IPE proposal trunks; cache PSNR must hold for the perf number
 # to count).
 bench.PROPOSAL_WIDTH = _int_flag("--proposal-width", bench.PROPOSAL_WIDTH)
+# --secondary-level-clamp K: quality guard for the secondary-ray LOD A/B
+# (fine hash levels skipped for secondary cache queries; material PSNR /
+# albedo / normal MAE must hold for the perf number to count).
+_slc = _int_flag("--secondary-level-clamp", 0)
+if _slc:
+    bench.SECONDARY_LEVEL_CLAMP = _slc
 
 # Batch/resolution overrides make a tiny-shape CPU smoke of any flag combo
 # possible before committing an hour of chip time to it.
