@@ -45,23 +45,68 @@ def summarize_xplane(trace_dir):
         # Build metadata map: id -> name.
         meta = {m.id: m.name for _, m in plane.event_metadata.items()}
         totals = {}
+        per_line = {}  # line name -> {op name: ps}
+        intervals = []  # (start_ps, end_ps) across all op lines
         for line in plane.lines:
             # Only the op-level lines (XLA Ops) carry per-op events.
             if "XLA Ops" not in line.name and "xla" not in line.name.lower():
                 continue
+            ltot = per_line.setdefault(line.name or "?", {})
             for ev in line.events:
                 name = meta.get(ev.metadata_id, "?")
                 totals[name] = totals.get(name, 0) + ev.duration_ps
+                ltot[name] = ltot.get(name, 0) + ev.duration_ps
+                intervals.append(
+                    (ev.offset_ps, ev.offset_ps + ev.duration_ps)
+                )
         if not totals:
             continue
         total = sum(totals.values())
+        # Honest time accounting: summed event durations double-count
+        # whenever tracks overlap (async copy-start/done spans cover the
+        # compute they hide under — the round-3 "copies 26%" artifact).
+        # The interval UNION is the device's actual busy wall; categories
+        # should be read against it, and a sum/union ratio >> 1 flags a
+        # trace where per-category percentages overstate.
+        intervals.sort()
+        union = 0
+        span = (intervals[-1][1] - intervals[0][0]) if intervals else 0
+        cur_s, cur_e = None, None
+        for s, e in intervals:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    union += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        if cur_e is not None:
+            union += cur_e - cur_s
         print(f"\nplane: {plane.name}  total op-time {total/1e12:.3f} s")
+        print(
+            f"  busy union {union/1e12:.3f} s over span {span/1e12:.3f} s"
+            f"  (overlap factor {total/max(union,1):.2f}x — percentages"
+            " below are of SUMMED op time, not wall)"
+        )
         cats = {}
         for name, t in totals.items():
             base = name.split(".")[0].split("-")[0]
             cats[base] = cats.get(base, 0) + t
         for name, t in sorted(cats.items(), key=lambda kv: -kv[1])[:18]:
             print(f"  {100*t/total:5.1f}%  {t/1e9:9.2f} ms  {name}")
+        for lname, ltot in sorted(per_line.items()):
+            lsum = sum(ltot.values())
+            print(f"  track '{lname}': {lsum/1e9:.2f} ms summed")
+            if "Async" in lname or "Module" in lname or not ltot:
+                continue
+            # The synchronous op track is the actionable one: its events
+            # don't overlap each other, so these fractions ARE wall
+            # fractions of the step.
+            lcats = {}
+            for name, t in ltot.items():
+                base = name.split(".")[0].split("-")[0]
+                lcats[base] = lcats.get(base, 0) + t
+            for name, t in sorted(lcats.items(), key=lambda kv: -kv[1])[:10]:
+                print(f"    {100*t/lsum:5.1f}%  {t/1e9:9.2f} ms  {name}")
         # Individual hot instances: the category split says WHAT kind of
         # work dominates; the instance list says WHICH op (full HLO name,
         # so shapes/opcodes can be looked up in the dumped HLO) — this is
