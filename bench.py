@@ -724,6 +724,13 @@ def main():
         train_lib.set_remat_save_names(
             *sys.argv[sys.argv.index("--remat-save") + 1].split(",")
         )
+    if "--scatter-dedup" in sys.argv:
+        # On-chip A/B: run-dedup leveled scatter backward (65% of updates
+        # duplicate the previous sample's cell at flagship sample spacing;
+        # the dedup pre-accumulates runs XLA-side and the kernel skips the
+        # zero-weight remainder). Exact up to f32 association order.
+        hashgrid.set_scatter_dedup(True)
+        globals()["AB_RUN"] = True
     if "--secondary-level-clamp" in sys.argv:
         # On-chip A/B: secondary-ray LOD. Clamps the final density pyramid
         # to its coarsest K levels for secondary cache queries only (fine

@@ -573,6 +573,11 @@ def _make_encode_vjp(statics):
 
         def weighted_scatter(idx_l, w_l, ct_l, num_rows, f):
             # idx_l/w_l: [L, P*U] (corners fastest); ct_l: [L, P, F].
+            if _SCATTER_DEDUP and corners > 1:
+                return _dedup_weighted_scatter(
+                    idx_l, w_l, ct_l, num_rows=num_rows, f=f,
+                    corners=corners, tile=tile,
+                )
             p = ct_l.shape[1]
             pad_p = (-p) % (tile // corners)
             if pad_p:
@@ -783,6 +788,88 @@ def set_planes_min_points(value: int) -> None:
     """Override the planes-vs-leveled backward switchover point count."""
     global _PLANES_MIN_POINTS
     _PLANES_MIN_POINTS = int(value)
+
+
+# Run-dedup for the leveled scatter backward: consecutive samples along a ray
+# land in the SAME grid cell for most (level, tap) pairs (65% of all updates
+# at flagship sample spacing — BASELINE.md round 3), and the serial kernel
+# pays its full ~9-cycle issue cost for each. When enabled, encode_bwd
+# pre-accumulates each run of equal-index updates with a capped segmented
+# scan (XLA-side, exact) and the kernel statically skips the zero-weight
+# remainder. Same sums, different association order (f32-tolerance exact).
+_SCATTER_DEDUP = False
+# Runs are force-broken every 2**_DEDUP_SCAN_STEPS elements so the capped
+# Hillis-Steele scan stays exact regardless of true run lengths.
+_DEDUP_SCAN_STEPS = 6
+
+
+def set_scatter_dedup(value: bool) -> None:
+    """Enable/disable run-dedup in the leveled scatter backward."""
+    global _SCATTER_DEDUP
+    _SCATTER_DEDUP = bool(value)
+
+
+def _dedup_weighted_scatter(idx_l, w_l, ct_l, *, num_rows, f, corners, tile):
+    """Run-deduplicated leveled scatter.
+
+    idx_l/w_l: [L, P*U] (corners fastest); ct_l: [L, P, F]. Consecutive
+    points sharing a tap index (same cell, same tap slot) have their
+    w*ct contributions pre-accumulated onto the run's last element with a
+    capped segmented scan; all other updates get weight 0 and the kernel
+    skips them (skip_zero_w). The sums are identical to the direct scatter
+    up to f32 association order. Streams one row per UPDATE (corners=1
+    packing, `corners`x the row traffic) — a fraction of a millisecond of
+    HBM time traded against ~9 serial kernel cycles per dead update.
+    """
+    from neural_radiance_caching_tpu.ops import scatter_tpu
+
+    levels, p, _ = ct_l.shape
+    idx3 = idx_l.reshape(levels, p, corners)
+    w3 = w_l.reshape(levels, p, corners)
+    v = w3[..., None] * ct_l[:, :, None, :]  # [L, P, U, F]
+
+    same = jnp.concatenate(
+        [
+            jnp.zeros((levels, 1, corners), bool),
+            idx3[:, 1:] == idx3[:, :-1],
+        ],
+        axis=1,
+    )
+    # Force a run break every 2**steps points so the capped scan is exact
+    # for arbitrarily long runs (the broken tail just scatters separately).
+    window = 1 << _DEDUP_SCAN_STEPS
+    pos_break = (jnp.arange(p) % window) != 0
+    same = same & pos_break[None, :, None]
+
+    acc = v
+    connected = same[..., None].astype(v.dtype)  # [L, P, U, 1]
+    for k in range(_DEDUP_SCAN_STEPS):
+        shift = 1 << k
+        acc_prev = jnp.pad(acc, ((0, 0), (shift, 0), (0, 0), (0, 0)))[:, :p]
+        conn_prev = jnp.pad(
+            connected, ((0, 0), (shift, 0), (0, 0), (0, 0))
+        )[:, :p]
+        acc = acc + connected * acc_prev
+        connected = connected * conn_prev
+    # Run ENDS carry the full run sum; everything else is skipped.
+    is_end = jnp.concatenate(
+        [~same[:, 1:], jnp.ones((levels, 1, corners), bool)], axis=1
+    )
+    w_keep = is_end.reshape(levels, p * corners).astype(jnp.float32)
+    rows = acc.reshape(levels, p * corners, f)
+
+    n = p * corners
+    pad_n = (-n) % tile
+    idx_flat = idx_l
+    if pad_n:
+        idx_flat = jnp.pad(idx_flat, ((0, 0), (0, pad_n)))
+        w_keep = jnp.pad(w_keep, ((0, 0), (0, pad_n)))
+        rows = jnp.pad(rows, ((0, 0), (0, pad_n), (0, 0)))
+    cp = rows.reshape(levels, -1, scatter_tpu.LANES)
+    return scatter_tpu.scatter_add_weighted_leveled(
+        idx_flat, w_keep, cp, num_rows=num_rows, features=f,
+        corners=1, tile=tile, skip_zero_w=True,
+    )
 
 # Table orientation for the XLA-encoder gathers: 'features' (column gathers
 # from feature-leading [F, rows] tables, plane outputs with the point axis

@@ -179,8 +179,8 @@ def scatter_fits_vmem(num_rows, features, banks=4, budget_bytes=100 * 2**20):
     return num_rows * features * 4 * banks <= budget_bytes
 
 
-def _scatter_weighted_kernel(features, corners, banks, tile, idx_ref, w_ref,
-                             cp_ref, *out_refs):
+def _scatter_weighted_kernel(features, corners, banks, tile, skip_zero_w,
+                             idx_ref, w_ref, cp_ref, *out_refs):
     """Weighted scatter: update j adds w[j] * ct_row[j // corners].
 
     Folds the per-corner (weight x cotangent-row) product into the kernel so
@@ -192,6 +192,10 @@ def _scatter_weighted_kernel(features, corners, banks, tile, idx_ref, w_ref,
     w_ref:   [tile] SMEM f32 per-update interpolation weights.
     cp_ref:  [tile//corners * F / 128, 128] VMEM packed per-point rows.
     out_refs: banks x [1, T*F/128, 128] packed accumulator windows.
+    skip_zero_w: statically compile a per-update w==0 skip — for dedup'd
+      update streams (run-accumulated rows, ~65% zero-weight at flagship
+      sample spacing) the branch is a win; for dense streams it is pure
+      per-update overhead, so it is off by default.
     """
 
     @pl.when(pl.program_id(1) == 0)
@@ -212,13 +216,20 @@ def _scatter_weighted_kernel(features, corners, banks, tile, idx_ref, w_ref,
             p = r * slots + sp
             for u in range(corners):
                 j = p * corners + u
-                i = idx_ref[j]
-                b = i // slots
-                s = i - b * slots
-                groll = pltpu.roll(gmask, (s - sp) * features, 1)
-                out_refs[(sp * corners + u) % banks][0, b, :] += (
-                    w_ref[j] * groll[0]
-                )
+
+                def _update(j=j, sp=sp, u=u, gmask=gmask):
+                    i = idx_ref[j]
+                    b = i // slots
+                    s = i - b * slots
+                    groll = pltpu.roll(gmask, (s - sp) * features, 1)
+                    out_refs[(sp * corners + u) % banks][0, b, :] += (
+                        w_ref[j] * groll[0]
+                    )
+
+                if skip_zero_w:
+                    pl.when(w_ref[j] != 0.0)(_update)
+                else:
+                    _update()
         return 0
 
     jax.lax.fori_loop(0, packed_ct_rows, body, 0)
@@ -227,10 +238,11 @@ def _scatter_weighted_kernel(features, corners, banks, tile, idx_ref, w_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("num_rows", "features", "corners", "banks", "tile",
-                     "interpret"),
+                     "interpret", "skip_zero_w"),
 )
 def scatter_add_weighted_leveled(idx, w, ct_packed, *, num_rows, features,
-                                 corners, banks=4, tile=8192, interpret=False):
+                                 corners, banks=4, tile=8192, interpret=False,
+                                 skip_zero_w=False):
     """Per-level weighted scatter-add: grads[l, idx[l,j]] += w[l,j] * ct[l, j//corners].
 
     Args:
@@ -260,7 +272,9 @@ def scatter_add_weighted_leveled(idx, w, ct_packed, *, num_rows, features,
     w_flat = w.reshape(levels * n).astype(jnp.float32)
     cp_flat = ct_packed.reshape(-1, LANES)
 
-    kern = functools.partial(_scatter_weighted_kernel, features, corners, banks, tile)
+    kern = functools.partial(
+        _scatter_weighted_kernel, features, corners, banks, tile, skip_zero_w
+    )
     outs = pl.pallas_call(
         kern,
         grid=(levels, tiles_per_level),

@@ -618,3 +618,97 @@ def test_bf16_gather_gate_thresholds(monkeypatch):
     monkeypatch.setattr(hashgrid.jax, "default_backend", lambda: "cpu")
     hashgrid.multires_grid_encode(big, ht, dp, **kw)
     assert seen["dtype"] is None  # CPU: emitter advantage is TPU-specific
+
+
+def test_dedup_weighted_scatter_matches_direct(monkeypatch):
+    """_dedup_weighted_scatter (run-accumulated rows + skip_zero_w kernel)
+    == the direct weighted scatter, on an index stream with long runs
+    (consecutive points in the same cell) — the 65%-dead flagship shape."""
+    import functools as ft
+
+    from neural_radiance_caching_tpu.ops import hashgrid, scatter_tpu
+
+    rng = np.random.RandomState(7)
+    L, P, U, T, F = 2, 256, 4, 512, 4
+    # Runs: repeat each base index 1-9 times along the point axis.
+    idx = np.empty((L, P, U), np.int32)
+    for l in range(L):
+        for u in range(U):
+            col = []
+            while len(col) < P:
+                col += [rng.randint(0, T)] * rng.randint(1, 10)
+            idx[l, :, u] = col[:P]
+    idx = jnp.asarray(idx.reshape(L, P * U))
+    w = jnp.asarray(rng.rand(L, P * U).astype(np.float32))
+    ct = jnp.asarray(rng.randn(L, P, F).astype(np.float32))
+
+    tile = 128
+    direct = scatter_tpu.scatter_add_weighted_leveled(
+        idx, w, ct.reshape(L, P * F // 128, 128), num_rows=T, features=F,
+        corners=U, tile=tile, interpret=True,
+    )
+    monkeypatch.setattr(
+        scatter_tpu, "scatter_add_weighted_leveled",
+        ft.partial(scatter_tpu.scatter_add_weighted_leveled, interpret=True),
+    )
+    dedup = hashgrid._dedup_weighted_scatter(
+        idx, w, ct, num_rows=T, f=F, corners=U, tile=tile,
+    )
+    np.testing.assert_allclose(np.asarray(dedup), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dedup_backward_matches_xla_grads(monkeypatch):
+    """Full encode_bwd with run-dedup ON == XLA autodiff grads."""
+    import functools as ft
+
+    from neural_radiance_caching_tpu.ops import scatter_tpu
+
+    monkeypatch.setattr(
+        scatter_tpu, "scatter_add_weighted_leveled",
+        ft.partial(scatter_tpu.scatter_add_weighted_leveled, interpret=True),
+    )
+    monkeypatch.setattr(hashgrid, "_SCATTER_DEDUP", True)
+    key = jax.random.PRNGKey(31)
+    grid_sizes = (8, 16, 32, 64)
+    T, F = 4096, 4
+    dense_pool, hash_tables, dense_offsets, _ = _setup_encoder(
+        key, np.asarray(grid_sizes), T, F
+    )
+    k1, k2 = jax.random.split(key)
+    # Ray-like points: consecutive entries close together so real runs occur.
+    base = jax.random.uniform(k1, (6, 1, 3), minval=-0.1, maxval=1.1)
+    steps = jnp.cumsum(
+        jax.random.uniform(k2, (6, 16, 3), maxval=0.01), axis=1
+    )
+    x = (base + steps).reshape(96, 1, 3)
+
+    for interp in ("trilinear", "simplex"):
+        encode = hashgrid._make_encode_vjp(
+            (grid_sizes, T, dense_offsets, "mean", interp, "features", None)
+        )
+
+        def xla_encode(x_, ht, dp, xs, _i=interp):
+            return hashgrid._multires_grid_encode_xla(
+                x_, ht, dp, grid_sizes=grid_sizes, table_size=T,
+                dense_offsets=dense_offsets, x_scale=xs,
+                multisample_reduce="mean", interpolation=_i,
+            )
+
+        def make_loss(fn):
+            def loss(ht, dp):
+                out = fn(x, ht, dp, None)
+                probe = jnp.cos(jnp.arange(out.size).reshape(out.shape))
+                return (out * probe).sum()
+            return loss
+
+        want_h, want_d = jax.grad(make_loss(xla_encode), argnums=(0, 1))(
+            hash_tables, dense_pool
+        )
+        got_h, got_d = jax.grad(make_loss(encode), argnums=(0, 1))(
+            hash_tables, dense_pool
+        )
+        np.testing.assert_allclose(got_h, want_h, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"{interp} hash")
+        np.testing.assert_allclose(got_d, want_d, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"{interp} dense")
