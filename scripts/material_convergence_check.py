@@ -326,7 +326,12 @@ def main():
         ["matconv", LAYOUT]
         + (["analytic"] if ANALYTIC_NORMALS else [])
         + (["active"] if ACTIVE else [])
-        + (["physical"] if PHYSICAL_SCENE else [])
+        # SCENE_TAG (legacy/physical/glossy [+ _multi]) — NOT just the
+        # physical flag: two runs on different GT variants must never share
+        # a checkpoint dir (a glossy run and a physical+multi-illum run
+        # collided here and the latter resumed fully-trained, training 0
+        # steps on its own data).
+        + [SCENE_TAG]
         + [f"{CACHE_STEPS}x{MAT_STEPS}", f"b{BATCH}x{MAT_BATCH}", f"r{RES}"]
     )
     ckpt_root = _str_flag("--ckpt-root", f"/tmp/{tag}")
