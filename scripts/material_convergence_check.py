@@ -130,6 +130,16 @@ _slc = _int_flag("--secondary-level-clamp", 0)
 if _slc:
     bench.SECONDARY_LEVEL_CLAMP = _slc
 
+# --roughness-bias B: overrides the MaterialMLP roughness head bias (the
+# reference's 3.0 initializes GGX alpha at softplus(3)~=3.05, far above any
+# physical alpha in [0,1]; on short glossy runs the render loss is satisfied
+# before alpha descends — see the BASELINE glossy row). A/B knob only: the
+# default stays at reference parity.
+ROUGHNESS_BIAS = (
+    float(sys.argv[sys.argv.index("--roughness-bias") + 1])
+    if "--roughness-bias" in sys.argv else None
+)
+
 # Batch/resolution overrides make a tiny-shape CPU smoke of any flag combo
 # possible before committing an hour of chip time to it.
 BATCH = _int_flag("--batch", 8192)
@@ -332,6 +342,13 @@ def main():
         # collided here and the latter resumed fully-trained, training 0
         # steps on its own data).
         + [SCENE_TAG]
+        # Model-shape A/B knobs must also be in the tag: an slc/pw run and
+        # the corresponding baseline run share every other tag component,
+        # and resuming across them is at best a param-shape mismatch and at
+        # worst a silently-invalid "converged in 0 steps" result.
+        + ([f"slc{_slc}"] if _slc else [])
+        + ([f"pw{bench.PROPOSAL_WIDTH}"] if "--proposal-width" in sys.argv else [])
+        + ([f"rb{ROUGHNESS_BIAS:g}"] if ROUGHNESS_BIAS is not None else [])
         + [f"{CACHE_STEPS}x{MAT_STEPS}", f"b{BATCH}x{MAT_BATCH}", f"r{RES}"]
     )
     ckpt_root = _str_flag("--ckpt-root", f"/tmp/{tag}")
@@ -375,8 +392,13 @@ def main():
     mat_ds = datasets.SyntheticSpheres("train", None, mat_config, num_images=16,
                                        resolution=RES)
     print(f"[material] training {MAT_STEPS} steps @ batch {MAT_BATCH}", flush=True)
+    shader_extras = {}
+    if ACTIVE:
+        shader_extras["use_active"] = True
+    if ROUGHNESS_BIAS is not None:
+        shader_extras["brdf_bias"] = {"roughness": ROUGHNESS_BIAS}
     mat_model = bench.build_flagship_material_model(
-        mat_config, shader_extras={"use_active": True} if ACTIVE else None
+        mat_config, shader_extras=shader_extras or None
     )
     mat_state = train_model(
         mat_model, mat_config, mat_ds, MAT_STEPS,
