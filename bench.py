@@ -54,8 +54,12 @@ BATCH_SIZE = 8192
 # IPE proposal-MLP width (flagship default; --proposal-width A/Bs it).
 PROPOSAL_WIDTH = 256
 # Secondary-ray LOD: hash-pyramid level clamp for is_secondary cache
-# queries (None = full pyramid; --secondary-level-clamp A/Bs it).
-SECONDARY_LEVEL_CLAMP = None
+# queries (None = full pyramid). Default 6 after the on-chip A/B (+23%
+# material rays/s, 875.3 -> 1078.2) and its quality guard (physical scene,
+# analytic+active: psnr 28.68 vs 28.8, albedo 10.38 vs 10.4, normal MAE
+# 11.93 vs 12.2 deg — within noise). `--secondary-level-clamp 0` restores
+# the full pyramid for A/Bs.
+SECONDARY_LEVEL_CLAMP = 6
 # Reference README quick-start trains the material stage at batch 1024; the
 # secondary fan-out (32 secondary rays x full cache hierarchy per surface
 # point) makes activations ~32x a cache ray's, so remat is on for this stage.
@@ -736,10 +740,10 @@ def main():
         # to its coarsest K levels for secondary cache queries only (fine
         # hash levels are the dominant gather/scatter cost of the secondary
         # fan-out). Quality guard: material_convergence_check.py
-        # --secondary-level-clamp K.
-        globals()["SECONDARY_LEVEL_CLAMP"] = int(
-            sys.argv[sys.argv.index("--secondary-level-clamp") + 1]
-        )
+        # --secondary-level-clamp K. K=0 restores the full pyramid
+        # (clamp 6 is the measured+guarded default above).
+        _slc_arg = int(sys.argv[sys.argv.index("--secondary-level-clamp") + 1])
+        globals()["SECONDARY_LEVEL_CLAMP"] = _slc_arg if _slc_arg > 0 else None
         globals()["AB_RUN"] = True
     if "--proposal-width" in sys.argv:
         # On-chip A/B: IPE proposal MLP width. Proposal levels only SHAPE

@@ -125,9 +125,13 @@ if ANALYTIC_NORMALS:
 bench.PROPOSAL_WIDTH = _int_flag("--proposal-width", bench.PROPOSAL_WIDTH)
 # --secondary-level-clamp K: quality guard for the secondary-ray LOD A/B
 # (fine hash levels skipped for secondary cache queries; material PSNR /
-# albedo / normal MAE must hold for the perf number to count).
-_slc = _int_flag("--secondary-level-clamp", 0)
-if _slc:
+# albedo / normal MAE must hold for the perf number to count). Clamp 6 is
+# the bench default since its guard passed; K=0 forces the full pyramid,
+# omitting the flag inherits the bench default.
+_slc = _int_flag("--secondary-level-clamp", -1)
+if _slc == 0:
+    bench.SECONDARY_LEVEL_CLAMP = None
+elif _slc > 0:
     bench.SECONDARY_LEVEL_CLAMP = _slc
 
 # --roughness-bias B: overrides the MaterialMLP roughness head bias (the
@@ -345,8 +349,11 @@ def main():
         # Model-shape A/B knobs must also be in the tag: an slc/pw run and
         # the corresponding baseline run share every other tag component,
         # and resuming across them is at best a param-shape mismatch and at
-        # worst a silently-invalid "converged in 0 steps" result.
-        + ([f"slc{_slc}"] if _slc else [])
+        # worst a silently-invalid "converged in 0 steps" result. The clamp
+        # component uses the EFFECTIVE value (bench default included) so
+        # default-clamped runs never resume pre-flip unclamped checkpoints.
+        + ([f"slc{bench.SECONDARY_LEVEL_CLAMP}"]
+           if bench.SECONDARY_LEVEL_CLAMP else [])
         + ([f"pw{bench.PROPOSAL_WIDTH}"] if "--proposal-width" in sys.argv else [])
         + ([f"rb{ROUGHNESS_BIAS:g}"] if ROUGHNESS_BIAS is not None else [])
         + [f"{CACHE_STEPS}x{MAT_STEPS}", f"b{BATCH}x{MAT_BATCH}", f"r{RES}"]
