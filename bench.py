@@ -89,7 +89,12 @@ MEASURED_ANCHORS = {
     # reference's 0.61 (reference_cpu_bench.py --stage transient
     # --layout reference).
     "cpu_anchor_speedup_transient_stage": 12.0,
-    "layout_ab_speedup_range": [6.9, 12.6],      # r2: flagship vs reference layout, on-chip
+    # r3: TPU-first flagship (43.3k rays/s) vs the reference's own
+    # grids-on-all-levels layout run at ITS best on-chip config (Pallas
+    # backward, batch 8192, 5,363 rays/s — benchmarks/layout_ab_probe.py,
+    # post scatter-merge crash fix). r2's range was [6.9, 12.6] with the
+    # reference layout capped at batch 2048 by the compile crash.
+    "layout_ab_speedup": 8.1,
 }
 
 # bf16 peak FLOP/s per chip by device kind (public spec sheets).
