@@ -219,15 +219,19 @@ def train_model(model, config, dataset, steps, rng, init_params=None, graft=None
     train_step = train_lib.create_train_step(model, config, mesh=mesh)
     batcher = mesh_lib.DevicePrefetcher(datasets.RayBatcher(dataset), mesh)
     t0 = time.time()
+    # Tunnel-flap insurance scaled to the run length: every 200 steps on the
+    # short runs, ~50 saves max on full-budget (25k-step) campaigns.
+    ckpt_every = max(200, steps // 50)
+    log_every = max(100, steps // 100)
     for step in range(start_step, steps):
         batch = next(batcher)
         train_frac = step / max(1, steps - 1)
         state, stats = train_step(rng, state, batch, train_frac)
-        if step % 100 == 0:
+        if step % log_every == 0:
             loss = float(stats["loss"])
             print(f"  step {step}/{steps} loss={loss:.5f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
-        if ckpt_dir is not None and step and step % 200 == 0:
+        if ckpt_dir is not None and step and step % ckpt_every == 0:
             ckpt_lib.save_checkpoint(ckpt_dir, state, step)
     if ckpt_dir is not None and steps > start_step:
         ckpt_lib.save_checkpoint(ckpt_dir, state, steps)
