@@ -1002,6 +1002,80 @@ def _shading_config(material_type, use_brdf_correction, use_diffuseness, use_mir
     return cfg
 
 
+def _lobe_estimates(cfg, material, samples, max_radiance, bins_main=False,
+                    bins_mult=False):
+    """Importance-weighted estimator means shared by the reflection integrators.
+
+    Every output is a mean over the secondary-sample axis of
+    ``clip(L_in * response) * w / pdf`` for some per-sample ``response``
+    (the full BRDF lobe for outgoing radiance, the cosine lobe for
+    irradiance, the learned correction factors for the multiplier
+    integrals). Samples whose direction falls below the local horizon
+    (z <= 0 in the surface frame) contribute zero weight.
+
+    ``bins_main`` / ``bins_mult`` insert a broadcast axis in front of the
+    channel axis so time-binned incoming radiance ``[P, S, bins, C]``
+    integrates against per-sample responses/weights ``[P, S, C]``.
+
+    Estimator surface matches the reference
+    (internal/inverse_render/render_utils.py:1102-1302).
+    """
+    z_up = samples["local_lightdirs"][..., 2:]
+    surface_frame_normal = jnp.concatenate(
+        [jnp.zeros_like(samples["local_lightdirs"][..., :2]), jnp.ones_like(z_up)],
+        axis=-1,
+    )
+    brdf_response = get_lobe(
+        samples["local_lightdirs"],
+        samples["local_viewdirs"],
+        surface_frame_normal,
+        jax.tree_util.tree_map(lambda x: x.reshape(-1, x.shape[-1]), material),
+        samples["brdf_correction"],
+        cfg,
+    )
+    cosine_response = jnp.maximum(0.0, z_up) / jnp.pi
+
+    mc_w = jnp.where(z_up > 0.0, jnp.maximum(samples["weight"], 0.0), 0.0)
+    inv_p = jnp.maximum(samples["pdf"], DENOMINATOR_EPS)
+    incoming = samples["radiance_in"]
+    binned = lambda x: x[..., None, :]
+
+    def estimate(response, lift):
+        if lift:
+            return (
+                jnp.clip(incoming * binned(response), 0.0, max_radiance)
+                * binned(mc_w) / binned(inv_p)
+            ).mean(1)
+        return (
+            jnp.clip(incoming * response, 0.0, max_radiance) * mc_w / inv_p
+        ).mean(1)
+
+    out = {
+        "radiance_out": estimate(brdf_response, bins_main),
+        "irradiance": estimate(cosine_response, bins_main),
+    }
+
+    correction = samples["brdf_correction"]
+    if cfg.use_brdf_correction:
+        # The correction integrals are NOT radiance-clipped.
+        out["integrated_multiplier"] = (
+            (correction * mc_w / inv_p).mean(1) / (2 * jnp.pi)
+        )
+        if bins_mult:
+            out["integrated_multiplier_irradiance"] = (
+                binned(correction[..., 1:2]) * incoming * binned(cosine_response)
+                * binned(mc_w) / binned(inv_p)
+            ).mean(1)
+        else:
+            out["integrated_multiplier_irradiance"] = (
+                correction[..., 1:2] * incoming * cosine_response * mc_w / inv_p
+            ).mean(1)
+    else:
+        out["integrated_multiplier"] = correction[:, 0]
+        out["integrated_multiplier_irradiance"] = correction[:, 0, :1]
+    return out
+
+
 def integrate_reflect_rays(
     material_type,
     use_brdf_correction,
@@ -1012,63 +1086,14 @@ def integrate_reflect_rays(
     use_specular_albedo=False,
     max_radiance=float("inf"),
 ):
-    """MC estimate: mean over samples of clip(L_in * lobe) * w / pdf."""
+    """MC estimate of one lobe's reflection integral over secondary samples."""
     cfg = _shading_config(
-        material_type, use_brdf_correction, use_diffuseness, use_mirrorness, use_specular_albedo
+        material_type, use_brdf_correction, use_diffuseness, use_mirrorness,
+        use_specular_albedo,
     )
-    material = jax.tree_util.tree_map(lambda x: x.reshape(-1, x.shape[-1]), material)
-    local_normals = jnp.concatenate(
-        [
-            jnp.zeros_like(samples["local_lightdirs"][..., 0:2]),
-            jnp.ones_like(samples["local_lightdirs"][..., 0:1]),
-        ],
-        axis=-1,
-    )
-    material_lobe = get_lobe(
-        samples["local_lightdirs"],
-        samples["local_viewdirs"],
-        local_normals,
-        material,
-        samples["brdf_correction"],
-        cfg,
-    )
-
-    denominator = jnp.maximum(samples["pdf"], DENOMINATOR_EPS)
-    weight = jnp.maximum(samples["weight"], 0.0)
-    weight = jnp.where(samples["local_lightdirs"][..., 2:] > 0.0, weight, 0.0)
-
-    radiance_out = (
-        jnp.clip(samples["radiance_in"] * material_lobe, 0.0, max_radiance) * weight / denominator
-    ).mean(1)
-    indirect_occ = samples["indirect_occ"].mean(1)
-
-    diffuse_lobe = jnp.maximum(0.0, samples["local_lightdirs"][..., 2:]) / jnp.pi
-    irradiance = (
-        jnp.clip(samples["radiance_in"] * diffuse_lobe, 0.0, max_radiance) * weight / denominator
-    ).mean(1)
-
-    if use_brdf_correction:
-        integrated_multiplier = (samples["brdf_correction"] * weight / denominator).mean(1) / (
-            2 * jnp.pi
-        )
-        integrated_multiplier_irradiance = (
-            samples["brdf_correction"][..., 1:2]
-            * samples["radiance_in"]
-            * diffuse_lobe
-            * weight
-            / denominator
-        ).mean(1)
-    else:
-        integrated_multiplier = samples["brdf_correction"][:, 0]
-        integrated_multiplier_irradiance = samples["brdf_correction"][:, 0, :1]
-
-    return dict(
-        radiance_out=radiance_out,
-        indirect_occ=indirect_occ,
-        irradiance=irradiance,
-        integrated_multiplier=integrated_multiplier,
-        integrated_multiplier_irradiance=integrated_multiplier_irradiance,
-    )
+    out = _lobe_estimates(cfg, material, samples, max_radiance)
+    out["indirect_occ"] = samples["indirect_occ"].mean(1)
+    return out
 
 
 def transient_integrate_reflect_rays(
@@ -1082,79 +1107,17 @@ def transient_integrate_reflect_rays(
     direct=True,
     max_radiance=float("inf"),
 ):
-    """Transient variant: radiance_in carries a time-bin axis when indirect."""
+    """Time-binned variant: indirect incoming radiance carries a bins axis."""
     cfg = _shading_config(
-        material_type, use_brdf_correction, use_diffuseness, use_mirrorness, use_specular_albedo
+        material_type, use_brdf_correction, use_diffuseness, use_mirrorness,
+        use_specular_albedo,
     )
-    material = jax.tree_util.tree_map(lambda x: x.reshape(-1, x.shape[-1]), material)
-    local_normals = jnp.concatenate(
-        [
-            jnp.zeros_like(samples["local_lightdirs"][..., 0:2]),
-            jnp.ones_like(samples["local_lightdirs"][..., 0:1]),
-        ],
-        axis=-1,
+    out = _lobe_estimates(
+        cfg, material, samples, max_radiance,
+        bins_main=not direct, bins_mult=True,
     )
-    material_lobe = get_lobe(
-        samples["local_lightdirs"],
-        samples["local_viewdirs"],
-        local_normals,
-        material,
-        samples["brdf_correction"],
-        cfg,
-    )
-
-    denominator = jnp.maximum(samples["pdf"], DENOMINATOR_EPS)
-    weight = jnp.maximum(samples["weight"], 0.0)
-    weight = jnp.where(samples["local_lightdirs"][..., 2:] > 0.0, weight, 0.0)
-    diffuse_lobe = jnp.maximum(0.0, samples["local_lightdirs"][..., 2:]) / jnp.pi
-
-    if direct:
-        radiance_out = (
-            jnp.clip(samples["radiance_in"] * material_lobe, 0.0, max_radiance)
-            * weight
-            / denominator
-        ).mean(1)
-        indirect_occ = None
-        irradiance = (
-            jnp.clip(samples["radiance_in"] * diffuse_lobe, 0.0, max_radiance)
-            * weight
-            / denominator
-        ).mean(1)
-    else:
-        radiance_out = (
-            jnp.clip(samples["radiance_in"] * material_lobe[..., None, :], 0.0, max_radiance)
-            * weight[..., None, :]
-            / denominator[..., None, :]
-        ).mean(1)
-        indirect_occ = samples["indirect_occ"].mean(1)
-        irradiance = (
-            jnp.clip(samples["radiance_in"] * diffuse_lobe[..., None, :], 0.0, max_radiance)
-            * weight[..., None, :]
-            / denominator[..., None, :]
-        ).mean(1)
-
-    if use_brdf_correction:
-        integrated_multiplier = (samples["brdf_correction"] * weight / denominator).mean(1) / (
-            2 * jnp.pi
-        )
-        integrated_multiplier_irradiance = (
-            samples["brdf_correction"][..., None, 1:2]
-            * samples["radiance_in"]
-            * diffuse_lobe[..., None, :]
-            * weight[..., None, :]
-            / denominator[..., None, :]
-        ).mean(1)
-    else:
-        integrated_multiplier = samples["brdf_correction"][:, 0]
-        integrated_multiplier_irradiance = samples["brdf_correction"][:, 0, :1]
-
-    return dict(
-        radiance_out=radiance_out,
-        indirect_occ=indirect_occ,
-        irradiance=irradiance,
-        integrated_multiplier=integrated_multiplier,
-        integrated_multiplier_irradiance=integrated_multiplier_irradiance,
-    )
+    out["indirect_occ"] = None if direct else samples["indirect_occ"].mean(1)
+    return out
 
 
 def integrate_irradiance(samples):

@@ -498,3 +498,80 @@ def test_render_utils_parity(ref):
         ref.render_utils.dtof_to_gauss(dtof, sigma_scales, 0.3),
         atol=1e-4, rtol=1e-4,
     )
+
+
+def _reflect_samples(rng, n=6, s=5, bins=None):
+    """Random secondary-sample dict in the shape _integrate_lobe feeds."""
+    d = rng.normal(size=(n, s, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    v = rng.normal(size=(n, s, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    v[..., 2] = np.abs(v[..., 2])
+    rad_shape = (n, s, 3) if bins is None else (n, s, bins, 3)
+    return {
+        "local_lightdirs": d,
+        "local_viewdirs": v,
+        "pdf": rng.uniform(1e-6, 2.0, (n, s, 1)).astype(np.float32),
+        "weight": rng.uniform(-0.1, 1.5, (n, s, 1)).astype(np.float32),
+        "radiance_in": rng.uniform(0.0, 5.0, rad_shape).astype(np.float32),
+        "brdf_correction": rng.uniform(0.2, 2.0, (n, s, 2)).astype(np.float32),
+        "indirect_occ": rng.uniform(0.0, 1.0, (n, s, 1)).astype(np.float32),
+    }
+
+
+def _reflect_material(rng, n=6):
+    return {
+        "albedo": rng.uniform(0.0, 1.0, (n, 3)).astype(np.float32),
+        "specular_albedo": rng.uniform(0.0, 1.0, (n, 3)).astype(np.float32),
+        "roughness": rng.uniform(0.05, 1.0, (n, 1)).astype(np.float32),
+        "F_0": rng.uniform(0.02, 0.1, (n, 1)).astype(np.float32),
+        "metalness": rng.uniform(0.0, 1.0, (n, 1)).astype(np.float32),
+        "diffuseness": rng.uniform(0.0, 1.0, (n, 1)).astype(np.float32),
+        "mirrorness": rng.uniform(0.0, 1.0, (n, 1)).astype(np.float32),
+    }
+
+
+def test_integrate_reflect_rays_parity(ref):
+    """Reflection-integral estimators vs
+    internal/inverse_render/render_utils.py:1102-1193."""
+    rng = _rng(77)
+    material = _reflect_material(rng)
+    for use_corr in (False, True):
+        samples = _reflect_samples(rng)
+        ours = render_utils.integrate_reflect_rays(
+            "microfacet", use_corr, material, samples, max_radiance=3.0)
+        theirs = ref.render_utils.integrate_reflect_rays(
+            "microfacet", use_corr, material, samples, max_radiance=3.0)
+        assert set(ours) == set(theirs)
+        for k in theirs:
+            assert_close(ours[k], theirs[k], atol=1e-5, rtol=1e-4)
+
+
+def test_transient_integrate_reflect_rays_parity(ref):
+    """Time-binned reflection estimators vs
+    internal/inverse_render/render_utils.py:1195-1302 (direct lobe without
+    correction integrals; indirect lobe with and without)."""
+    rng = _rng(78)
+    material = _reflect_material(rng)
+
+    samples = _reflect_samples(rng)
+    ours = render_utils.transient_integrate_reflect_rays(
+        "microfacet", False, material, samples, direct=True, max_radiance=3.0)
+    theirs = ref.render_utils.transient_integrate_reflect_rays(
+        "microfacet", False, material, samples, direct=True, max_radiance=3.0)
+    assert ours["indirect_occ"] is None and theirs["indirect_occ"] is None
+    for k in theirs:
+        if theirs[k] is not None:
+            assert_close(ours[k], theirs[k], atol=1e-5, rtol=1e-4)
+
+    for use_corr in (False, True):
+        samples = _reflect_samples(rng, bins=4)
+        ours = render_utils.transient_integrate_reflect_rays(
+            "microfacet", use_corr, material, samples, direct=False,
+            max_radiance=3.0)
+        theirs = ref.render_utils.transient_integrate_reflect_rays(
+            "microfacet", use_corr, material, samples, direct=False,
+            max_radiance=3.0)
+        assert set(ours) == set(theirs)
+        for k in theirs:
+            assert_close(ours[k], theirs[k], atol=1e-5, rtol=1e-4)
