@@ -543,8 +543,14 @@ def build_reference_layout_material_model(config):
     )
 
 
-def bench_train_steps(model, config, dataset, n_steps, batch_size):
-    """Compile + time the sharded train step; returns (dt_sec, detail)."""
+def bench_train_steps(model, config, dataset, n_steps, batch_size,
+                      want_state=False):
+    """Compile + time the sharded train step; returns (dt_sec, detail).
+
+    With want_state=True also returns the post-bench TrainState so callers
+    can quality-gate the trained params (the step-time metrics alone cannot
+    see a silent quality regression).
+    """
     import functools
 
     mesh = mesh_lib.create_mesh()
@@ -607,7 +613,64 @@ def bench_train_steps(model, config, dataset, n_steps, batch_size):
         detail["xla_bytes_per_step"] = bytes_accessed
         detail["hbm_roofline_frac"] = round(
             bytes_accessed / dt / _device_lookup(PEAK_HBM_BW, 819e9), 4)
+    if want_state:
+        return dt, detail, state
     return dt, detail
+
+
+def trained_psnr(model, config, state, resolution=64):
+    """PSNR of a held-out render from a trained state (quality canary)."""
+    from neural_radiance_caching_tpu.engine import renderer
+
+    mesh = mesh_lib.create_mesh()
+    render_fn = train_lib.create_render_fn(model, mesh=mesh)
+    ds = datasets.SyntheticSpheres(
+        "test", None, config, num_images=2, resolution=resolution
+    )
+    batch = ds.generate_ray_batch(0)
+    out = renderer.render_image(
+        render_fn, state.params, batch.rays, jax.random.PRNGKey(7), config,
+        height=resolution, width=resolution, train_frac=1.0,
+    )
+    gt = np.clip(np.asarray(batch.rgb).reshape(out["rgb"].shape), 0, 1)
+    mse = float(np.mean((np.clip(np.asarray(out["rgb"]), 0, 1) - gt) ** 2))
+    return round(-10 * np.log10(mse + 1e-12), 2)
+
+
+def trained_psnr_gate(model, config, dataset, steps=200, resolution=64):
+    """Short-train the benched model, render a held-out view, return PSNR.
+
+    The throughput metrics (and `final_loss` under the flagship lr schedule,
+    whose 2500-step warmup barely moves 23 bench steps) cannot see a silent
+    quality regression — an integrator/encoder bug that keeps step time and
+    loss shape intact. This gate runs `steps` real-lr training steps on the
+    bench scene and scores a held-out render. Comparable run-to-run only at
+    fixed `steps` — a canary threshold, not a convergence number.
+    """
+    import dataclasses
+    import functools
+
+    gate_config = dataclasses.replace(
+        config, lr_init=0.01, lr_final=0.003, lr_delay_steps=50,
+        max_steps=steps,
+    )
+    mesh = mesh_lib.create_mesh()
+    variables = jax.jit(functools.partial(model.init, train_frac=1.0, train=False))(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1), pytrees.dummy_rays(16)
+    )
+    state, _ = train_lib.create_optimizer(gate_config, variables)
+    state = mesh_lib.replicate(state, mesh)
+    train_step = train_lib.create_train_step(model, gate_config, mesh=mesh)
+    batches = [
+        mesh_lib.shard_batch(dataset.next_train(), mesh) for _ in range(16)
+    ]
+    rng = jax.random.PRNGKey(5)
+    for i in range(steps):
+        state, stats = train_step(
+            rng, state, batches[i % len(batches)], i / max(1, steps - 1)
+        )
+    _ = float(stats["loss"])  # host fetch = the only reliable fence
+    return trained_psnr(model, gate_config, state, resolution=resolution)
 
 
 def bench_eval_render(model, config, dataset, n_images=3):
@@ -852,11 +915,20 @@ def _main_default(only=None):
         dataset = datasets.SyntheticSpheres(
             "train", None, config, num_images=8, resolution=128
         )
+        cache_model = build_flagship_cache_model(config)
         dt, cache_detail = bench_train_steps(
-            build_flagship_cache_model(config), config, dataset,
-            BENCH_STEPS, BATCH_SIZE,
+            cache_model, config, dataset, BENCH_STEPS, BATCH_SIZE,
         )
         cache_detail["samples_per_ray"] = 160
+        try:
+            # Held-out-view PSNR after a 200-step real-lr run of the benched
+            # model: the quality canary (VERDICT r3 #9) the throughput
+            # metrics cannot provide.
+            cache_detail["trained_psnr"] = trained_psnr_gate(
+                cache_model, config, dataset
+            )
+        except Exception as e:
+            cache_detail["trained_psnr_error"] = f"{type(e).__name__}: {e}"
         rays_per_sec = BATCH_SIZE / dt
         if not AB_RUN:
             _update_record("cache", round(rays_per_sec, 1),

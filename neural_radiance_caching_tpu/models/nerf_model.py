@@ -485,6 +485,10 @@ class BaseNeRFModel(Model):
             key, rng = jaxutil.random_split(rng)
             return self._handle_env_map(key, rays, train, train_frac, **render_kwargs)
 
+        # Mesh shortcut plumbing (models.py threads `mesh` to every sampler
+        # entry): consumed here so shader/integrator kwargs stay clean.
+        mesh = render_kwargs.pop("mesh", None)
+        use_mesh = render_kwargs.pop("use_mesh", True)
         if cache_outputs is not None:
             # Reuse a prior forward's sampler hierarchy (gradient-debias
             # second pass / secondary-ray replays).
@@ -495,6 +499,7 @@ class BaseNeRFModel(Model):
                 rng=key, rays=cache_rays, train_frac=train_frac, train=train,
                 sampling_strategy=self.get_sampling_strategy(train, sampling_strategy),
                 use_raydist_fn=use_raydist_fn, is_secondary=is_secondary,
+                mesh=mesh, use_mesh=use_mesh,
                 **render_kwargs,
             )
 

@@ -139,6 +139,8 @@ class ProposalVolumeSampler(nn.Module):
         use_raydist_fn=True,
         **render_kwargs,
     ):
+        mesh = render_kwargs.pop("mesh", None)
+        use_mesh = render_kwargs.pop("use_mesh", True)
         is_secondary = render_kwargs.get("is_secondary", False)
         if deterministic or (not train and is_secondary):
             rng = jax.random.PRNGKey(0)
@@ -169,6 +171,26 @@ class ProposalVolumeSampler(nn.Module):
                 "this consistency to the user)."
             )
 
+        # Mesh-intersection shortcut (sampling.py:217-233): with a known
+        # surface mesh, intersect once up front; `use_mesh=True` later
+        # replaces volume sampling with the single surface sample, while
+        # `use_mesh=False` keeps volume sampling but annotates each sample
+        # with its distance to the mesh surface (sampling.py:576-592).
+        mesh_t = mesh_normals = None
+        if mesh is not None:
+            hit_t, _, smooth_n, face_n, hit_valid = mesh.intersect(
+                rays.origins, rays.directions
+            )
+            # Missed rays fall back to the far plane (the reference leaves
+            # +inf in; a finite fallback keeps downstream math NaN-free).
+            mesh_t = jnp.where(hit_valid, hit_t, rays.far[..., 0])
+            toward = lambda n: jnp.where(
+                math.dot(n, rays.directions, keepdims=True) < 0, n, -n
+            )
+            mesh_normals = toward(
+                face_n if self.config.use_mesh_face_normals else smooth_n
+            )[..., None, :]
+
         t_to_s, s_to_t = self._ray_warps(rays, use_raydist_fn)
 
         # Normalized-distance domain; the near edge optionally anneals open
@@ -191,43 +213,62 @@ class ProposalVolumeSampler(nn.Module):
 
         for i_level, (i_mlp, _, num_samples) in enumerate(sampling_strategy):
             is_last = i_level == len(sampling_strategy) - 1
+            if mesh is not None and use_mesh and not is_last:
+                # The mesh already answers "where is the surface": proposal
+                # levels have nothing to refine (sampling.py:286-291).
+                continue
             mlp = self.mlps[i_mlp]
 
-            dilation = (
-                self.dilation_bias
-                + self.dilation_multiplier * (init_s_far - init_s_near) / prod_num_samples
-            )
-            use_dilation = self.dilation_bias > 0 or self.dilation_multiplier > 0
-            if prod_num_samples > 1 and use_dilation:
-                sdist, resample_weights = stepfun.max_dilate_weights(
-                    sdist,
-                    resample_weights,
-                    dilation,
-                    domain=(init_s_near, init_s_far),
-                    renormalize=True,
+            if mesh is not None and use_mesh:
+                # One surface sample at the intersection; the density MLP is
+                # still evaluated there for features (sampling.py:369-382).
+                means = (
+                    rays.origins + rays.directions * mesh_t[..., None]
+                )[..., None, :]
+                covs = jnp.broadcast_to(
+                    rays.radii.ravel()[0] * jnp.eye(3), means.shape + (3,)
                 )
-                sdist = sdist[..., 1:-1]
-                resample_weights = resample_weights[..., 1:-1]
+                gaussians = (means, covs)
+                tdist = jnp.concatenate(
+                    [jnp.zeros_like(mesh_t[..., None]), mesh_t[..., None] + 0.1],
+                    axis=-1,
+                )
+            else:
+                dilation = (
+                    self.dilation_bias
+                    + self.dilation_multiplier * (init_s_far - init_s_near) / prod_num_samples
+                )
+                use_dilation = self.dilation_bias > 0 or self.dilation_multiplier > 0
+                if prod_num_samples > 1 and use_dilation:
+                    sdist, resample_weights = stepfun.max_dilate_weights(
+                        sdist,
+                        resample_weights,
+                        dilation,
+                        domain=(init_s_near, init_s_far),
+                        renormalize=True,
+                    )
+                    sdist = sdist[..., 1:-1]
+                    resample_weights = resample_weights[..., 1:-1]
 
-            prod_num_samples *= num_samples
+                prod_num_samples *= num_samples
 
-            logits_resample = self._anneal(train_frac) * math.safe_log(
-                resample_weights + self.resample_padding
-            )
-            key, rng = jaxutil.random_split(rng)
-            sdist = stepfun.sample_intervals(
-                key, sdist, logits_resample, num_samples,
-                single_jitter=self.single_jitter,
-                domain=(init_s_near, init_s_far),
-            )
+                logits_resample = self._anneal(train_frac) * math.safe_log(
+                    resample_weights + self.resample_padding
+                )
+                key, rng = jaxutil.random_split(rng)
+                sdist = stepfun.sample_intervals(
+                    key, sdist, logits_resample, num_samples,
+                    single_jitter=self.single_jitter,
+                    domain=(init_s_near, init_s_far),
+                )
 
-            if self.stop_level_grad:
-                sdist = jax.lax.stop_gradient(sdist)
+                if self.stop_level_grad:
+                    sdist = jax.lax.stop_gradient(sdist)
 
-            tdist = s_to_t(sdist)
-            gaussians = render.cast_rays(
-                tdist, rays.origins, rays.directions, rays.radii, self.ray_shape, diag=False
-            )
+                tdist = s_to_t(sdist)
+                gaussians = render.cast_rays(
+                    tdist, rays.origins, rays.directions, rays.radii, self.ray_shape, diag=False
+                )
 
             if self.disable_integration:
                 gaussians = (gaussians[0], jnp.zeros_like(gaussians[1]))
@@ -257,6 +298,7 @@ class ProposalVolumeSampler(nn.Module):
                 tdist=tdist,
                 train_frac=train_frac,
                 train=train,
+                mesh_normals=mesh_normals if use_mesh else None,
                 **render_kwargs,
             )
 
@@ -350,6 +392,25 @@ class ProposalVolumeSampler(nn.Module):
                     + jax.lax.stop_gradient(((1.0 - inside) - outside) / jnp.maximum(n_out, 1.0)),
                     weights,
                 )
+
+            if mesh is not None and use_mesh:
+                # The surface sample is certain: unit compositing weight
+                # (sampling.py:576-577).
+                weights = jnp.ones_like(weights)
+            elif mesh is not None:
+                # Volume samples annotated with the mesh surface: per-sample
+                # signed distance-to-surface along the ray plus the surface
+                # point/normal (sampling.py:578-592).
+                ones = jnp.ones_like(means)
+                surf = (
+                    rays.origins + rays.directions * mesh_t[..., None]
+                )[..., None, :] * ones
+                ray_results["mesh_points"] = surf
+                ray_results["mesh_normals"] = mesh_normals[..., 0:1, :] * ones
+                dist_to = lambda p: jnp.linalg.norm(
+                    p - rays.origins[..., None, :], axis=-1, keepdims=True
+                )
+                ray_results["t_to_nearest"] = dist_to(surf) - dist_to(means)
 
             ray_results["tdist"] = jnp.copy(tdist)
             ray_results["sdist"] = jnp.copy(sdist)

@@ -1,0 +1,31 @@
+"""bench.trained_psnr_gate: the driver bench's quality canary (tiny smoke)."""
+
+import numpy as np
+
+import bench
+from neural_radiance_caching_tpu.data import datasets
+from neural_radiance_caching_tpu.engine.configs import Config
+
+
+def test_trained_psnr_gate_smoke():
+    from test_train_e2e import make_tiny_model
+
+    config = Config(
+        dataset_loader="synthetic_spheres",
+        batch_size=64,
+        near=2.0,
+        far=6.0,
+        max_steps=10,
+        lr_init=5e-3,
+        lr_final=2e-3,
+        lr_delay_steps=0,
+        data_loss_type="charb",
+        linear_to_srgb=True,
+        mask_lossmult=False,
+        render_chunk_size=256,
+    )
+    ds = datasets.SyntheticSpheres("train", None, config, num_images=4,
+                                   resolution=16)
+    model = make_tiny_model(config)
+    psnr = bench.trained_psnr_gate(model, config, ds, steps=5, resolution=16)
+    assert np.isfinite(psnr) and psnr > 0.0
