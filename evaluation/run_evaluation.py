@@ -9,7 +9,9 @@ neural_radiance_caching_tpu/ops/lpips.py (replacing the reference's TF1
 lpips_tf + evaluation/elpips). Calibrated VGG weights are searched at the
 documented paths (NRC_LPIPS_WEIGHTS env var, ~/.cache/..., <repo>/weights/);
 pass --lpips_weights to point at a specific .npz (see
-scripts/convert_lpips_weights.py). Without weights LPIPS is reported null.
+scripts/convert_lpips_weights.py). Without weights LPIPS is scored with the
+deterministic uncalibrated fallback and the JSON carries
+`lpips_calibrated: false` (see ops/lpips.py for what that variant means).
 
 Usage:
     python evaluation/run_evaluation.py --gt_dir SAVE/color_gt --pred_dir SAVE/color
@@ -79,10 +81,12 @@ def main():
 
     from neural_radiance_caching_tpu.ops import lpips as lpips_lib
 
-    lpips_params = lpips_lib.load_params(args.lpips_weights)
-    if lpips_params is None:
-        print("LPIPS disabled: no calibrated weights found "
-              "(see scripts/convert_lpips_weights.py)")
+    lpips_params = lpips_lib.default_params(args.lpips_weights)
+    if not lpips_params.get("calibrated", False):
+        print("LPIPS: no calibrated weights found — scoring with the "
+              "deterministic UNCALIBRATED fallback (untrained VGG; see "
+              "ops/lpips.py and scripts/convert_lpips_weights.py). Values "
+              "are self-consistent, not comparable to published tables.")
 
     gt_files, pred_files = get_files(args.gt_dir, args.pred_dir)
     psnrs, ssims, lpipss, elpipss = [], [], [], []
@@ -105,6 +109,7 @@ def main():
         "psnr": float(np.mean(psnrs)),
         "ssim": float(np.mean(ssims)),
         "lpips": float(np.mean(lpipss)) if lpipss else None,
+        "lpips_calibrated": bool(lpips_params.get("calibrated", False)),
         "elpips": float(np.mean(elpipss)) if elpipss else None,
         "count": len(psnrs),
     }

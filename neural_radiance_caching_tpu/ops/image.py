@@ -92,9 +92,11 @@ class MetricHarness:
 
     LPIPS is the pure-JAX VGG implementation in ops/lpips.py. Calibrated
     weights are searched at the documented paths (see that module); when
-    absent, LPIPS is omitted from the output rather than reporting numbers
-    from synthesized weights. Tests can inject `lpips_params` explicitly
-    (e.g. lpips.synthesize_params()) to exercise the path.
+    absent, the harness scores with the deterministic UNCALIBRATED fallback
+    (fixed-seed untrained VGG, lpips.fallback_params) and flags the output
+    with `lpips_calibrated = 0.0` so tables can't silently mix the two
+    regimes. Tests can inject `lpips_params` explicitly (e.g.
+    lpips.synthesize_params()) to exercise the path.
     """
 
     def __init__(self, disable_lpips=False, lpips_params=None,
@@ -108,7 +110,7 @@ class MetricHarness:
             if lpips_params is not None:
                 self._lpips_params = lpips_params
             else:
-                self._lpips_params = lpips_lib.load_params(lpips_weights_path)
+                self._lpips_params = lpips_lib.default_params(lpips_weights_path)
             self._lpips_fn = lpips_lib.lpips
 
     def __call__(self, rgb_pred, rgb_gt, name_fn=lambda s: s):
@@ -120,6 +122,9 @@ class MetricHarness:
                 self._lpips_fn(self._lpips_params, rgb_pred, rgb_gt)
             )
             out[name_fn("lpips")] = lpips_val
+            out[name_fn("lpips_calibrated")] = float(
+                bool(self._lpips_params.get("calibrated", False))
+            )
             # Geometric mean of MSE, sqrt(DSSIM), LPIPS (image.py:496-506).
             mse = float(np.exp(-0.1 * np.log(10.0) * psnr_val))
             sqrt_dssim = float(np.sqrt((1.0 - ssim_val) / 2.0))

@@ -27,6 +27,17 @@ in order:
 `synthesize_params` builds deterministic random parameters for shape/smoke
 tests only — distances from synthesized weights are NOT comparable to
 published LPIPS numbers (params carry `calibrated=False`).
+
+When no calibrated file exists, `default_params` falls back to the
+UNCALIBRATED variant: a fixed-seed He-initialized VGG-16 with uniform unit
+linear heads. This is the LPIPS paper's untrained-network baseline (Zhang et
+al., CVPR 2018, Table 5 "Net (random)": Gaussian-init nets score ~78% 2AFC
+vs ~63% for L2 — most of LPIPS' perceptual power is the deep-feature
+architecture, not the ImageNet weights or the head calibration). Values are
+self-consistent across runs (fixed seed) and perceptually ordered (see
+tests/test_lpips.py::test_fallback_perceptual_ordering) but NOT comparable
+to published calibrated-LPIPS tables; reports must carry the
+`lpips_calibrated` flag the MetricHarness emits alongside.
 """
 
 from __future__ import annotations
@@ -116,6 +127,35 @@ def synthesize_params(seed: int = 0):
         for c in SLICE_CHANNELS
     ]
     return {"convs": convs, "lins": lins, "calibrated": False}
+
+
+# Fixed seed of the uncalibrated fallback: one global constant so every
+# harness instance in every process scores with the SAME network.
+_FALLBACK_SEED = 1818
+
+
+def fallback_params():
+    """Deterministic uncalibrated LPIPS params (untrained-VGG baseline).
+
+    He-initialized convs from a fixed seed and uniform 1/C linear heads (the
+    unweighted per-layer average the LPIPS paper uses for its untrained
+    baseline). `calibrated=False`; see the module docstring for what these
+    numbers mean and don't mean.
+    """
+    rng = np.random.RandomState(_FALLBACK_SEED)
+    convs = []
+    for cin, cout in VGG_CONVS:
+        std = np.sqrt(2.0 / (9 * cin))
+        w = rng.normal(0.0, std, (3, 3, cin, cout)).astype(np.float32)
+        convs.append((jnp.asarray(w), jnp.zeros((cout,), jnp.float32)))
+    lins = [jnp.full((c,), 1.0 / c, jnp.float32) for c in SLICE_CHANNELS]
+    return {"convs": convs, "lins": lins, "calibrated": False}
+
+
+def default_params(path: Optional[str] = None):
+    """Calibrated params when a weights file exists, else the fallback."""
+    params = load_params(path)
+    return params if params is not None else fallback_params()
 
 
 def _conv(x, w, b):

@@ -86,6 +86,7 @@ def test_viewer_helpers():
     )
 
 
+@pytest.mark.slow
 def test_http_viewer_roundtrip():
     """The stdlib fallback viewer serves the page and renders a PNG frame
     over a real HTTP round trip (no viser in this environment)."""
@@ -137,6 +138,7 @@ def test_draw_transients():
     assert img.ndim == 3 and img.shape[-1] == 3 and np.isfinite(img).all()
 
 
+@pytest.mark.slow
 def test_sample_network_in_sampler():
     """use_sample_network refines final-level sample points with the learned
     eased offsets (sample_net_utils.py parity)."""

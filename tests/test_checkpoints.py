@@ -1,6 +1,7 @@
 """Unit tests for utils/checkpoints.py: step dirs, keep-GC, async save
 ordering (a restore after a non-blocking save must see the full write)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -12,6 +13,7 @@ def _state(val):
             "step": jnp.asarray(val)}
 
 
+@pytest.mark.slow
 def test_save_restore_roundtrip(tmp_path):
     d = str(tmp_path)
     ckpt.save_checkpoint(d, _state(1.0), step=1)

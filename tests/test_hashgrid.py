@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,6 +26,7 @@ def _setup_encoder(key, grid_sizes, table_size, num_features):
     return dense_pool, hash_tables, dense_offsets, dense_mask
 
 
+@pytest.mark.slow
 def test_hash_levels_match_reference_formula():
     """Fused encoder must agree with the reference's per-level trilinear hash
     lookup (grid_utils.jax_hash_resample_3d semantics) on hash levels."""
@@ -144,6 +146,7 @@ def test_custom_vjp_matches_xla_grads():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_weighted_scatter_kernel_interpret():
     """scatter_add_weighted_leveled == dense one-hot reference (interpret)."""
     import jax
@@ -168,6 +171,7 @@ def test_weighted_scatter_kernel_interpret():
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_weighted_scatter_padded_updates_leave_row0_exact():
     """Pin the encode_bwd padding invariant (hashgrid.py weighted_scatter):
     point-axis padding scatters extra updates into ROW 0 with weight exactly
@@ -254,6 +258,7 @@ def _naive_encode(x, hash_tables, dense_pool, grid_sizes, table_size,
     return f.reshape(f.shape[:-2] + (-1,))
 
 
+@pytest.mark.slow
 def test_layout_safe_encoder_matches_naive_all_modes():
     """The rows-last production encoder vs the [..., L, U]-layout oracle:
     simplex + trilinear, mixed dense/hash levels, mip x_scale, and all
@@ -306,6 +311,7 @@ def test_pack_ct_planes_interleaves_points():
     np.testing.assert_allclose(packed, want, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_weighted_scatter_planes_matches_naive():
     from neural_radiance_caching_tpu.ops import scatter_tpu
 
@@ -371,6 +377,7 @@ def test_tap_planes_match_corner_indices():
             )
 
 
+@pytest.mark.slow
 def test_merged_leveled_backward_matches_xla_grads(monkeypatch):
     """encode_bwd's MERGED dense+hash kernel call (one scatter instance per
     encoder: local dense indices, full-height accumulators, sliced back)
@@ -431,6 +438,7 @@ def test_merged_leveled_backward_matches_xla_grads(monkeypatch):
             )
 
 
+@pytest.mark.slow
 def test_planes_backward_matches_xla_grads(monkeypatch):
     """Full plane-layout table-gradient path (ct planes + /m + multisample
     repeat + MXU packing + planes kernel) vs XLA autodiff of the encoder."""
@@ -490,6 +498,7 @@ def test_planes_backward_matches_xla_grads(monkeypatch):
         )
 
 
+@pytest.mark.slow
 def test_rows_gather_layout_matches_features():
     # The two table orientations of the XLA encoder ('features': column
     # gathers from [F, rows]; 'rows': contiguous row gathers + boundary
@@ -620,6 +629,7 @@ def test_bf16_gather_gate_thresholds(monkeypatch):
     assert seen["dtype"] is None  # CPU: emitter advantage is TPU-specific
 
 
+@pytest.mark.slow
 def test_dedup_weighted_scatter_matches_direct(monkeypatch):
     """_dedup_weighted_scatter (run-accumulated rows + skip_zero_w kernel)
     == the direct weighted scatter, on an index stream with long runs
@@ -658,6 +668,7 @@ def test_dedup_weighted_scatter_matches_direct(monkeypatch):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dedup_backward_matches_xla_grads(monkeypatch):
     """Full encode_bwd with run-dedup ON == XLA autodiff grads."""
     import functools as ft

@@ -74,13 +74,64 @@ def test_metric_harness_with_lpips(params, imgs):
     a, b = imgs
     harness = image_lib.MetricHarness(lpips_params=params)
     metrics = harness(b, a)
-    assert set(metrics) == {"psnr", "ssim", "lpips", "avg_err"}
+    assert set(metrics) == {"psnr", "ssim", "lpips", "lpips_calibrated", "avg_err"}
     assert all(np.isfinite(v) for v in metrics.values())
-    # Without weights, lpips/avg_err are omitted rather than fabricated.
+    # Without a calibrated weights file the harness still scores — with the
+    # deterministic fallback — and says so via the lpips_calibrated flag.
     bare = image_lib.MetricHarness(lpips_weights_path="/nonexistent")
-    assert set(bare(b, a)) == {"psnr", "ssim"}
+    bare_metrics = bare(b, a)
+    assert bare_metrics["lpips_calibrated"] == 0.0
+    assert np.isfinite(bare_metrics["lpips"]) and bare_metrics["lpips"] > 0
 
 
+def test_fallback_deterministic_across_instances(imgs):
+    a, b = imgs
+    d0 = float(lpips_lib.lpips(lpips_lib.fallback_params(), a, b))
+    d1 = float(lpips_lib.lpips(lpips_lib.fallback_params(), a, b))
+    assert d0 == d1 and d0 > 0
+
+
+def test_fallback_perceptual_ordering():
+    """Self-check of what the uncalibrated fallback DOES provide.
+
+    Per-distortion-type monotonicity on structured content: distance must
+    grow with severity for pixel noise, blur, and brightness shift, and be
+    exactly 0 at severity 0. (Cross-type calibration — e.g. equal-MSE noise
+    scoring worse than an equal-MSE brightness shift — is what the LPIPS
+    head calibration adds and is deliberately NOT asserted here; that is
+    the gap the `lpips_calibrated` flag communicates.)
+    """
+    y, x = np.mgrid[0:64, 0:64].astype(np.float32) / 63.0
+    img = np.stack([
+        0.5 + 0.4 * np.sin(8 * x), y * 0.8, ((x * 8).astype(int) % 2) * 0.6
+    ], -1).clip(0, 1)
+    params = lpips_lib.fallback_params()
+    rng = np.random.RandomState(3)
+    noise = rng.normal(size=img.shape).astype(np.float32)
+
+    def box_blur(im, k):
+        if k <= 1:
+            return im
+        pad = np.pad(im, ((k // 2, k - 1 - k // 2),) * 2 + ((0, 0),), "edge")
+        out = np.zeros_like(im)
+        for dy in range(k):
+            for dx in range(k):
+                out += pad[dy:dy + im.shape[0], dx:dx + im.shape[1]]
+        return out / (k * k)
+
+    dist = lambda other: float(lpips_lib.lpips(params, img, other))
+    d_noise = [dist(np.clip(img + s * noise, 0, 1)) for s in (0.0, 0.05, 0.15, 0.4)]
+    assert d_noise[0] == pytest.approx(0.0, abs=1e-6)
+    assert d_noise[1] < d_noise[2] < d_noise[3]
+    d_blur = [dist(box_blur(img, k)) for k in (1, 3, 7, 15)]
+    assert d_blur[0] == pytest.approx(0.0, abs=1e-6)
+    assert d_blur[1] < d_blur[2] < d_blur[3]
+    d_shift = [dist(np.clip(img + s, 0, 1)) for s in (0.0, 0.05, 0.1, 0.2)]
+    assert d_shift[0] == pytest.approx(0.0, abs=1e-6)
+    assert d_shift[1] < d_shift[2] < d_shift[3]
+
+
+@pytest.mark.slow
 def test_torch_checkpoint_conversion(tmp_path, imgs):
     """End-to-end converter proof against the real torch-lpips key schema.
 
@@ -143,6 +194,7 @@ def test_torch_checkpoint_conversion(tmp_path, imgs):
     assert float(lpips_lib.lpips(loaded, a, a)) == pytest.approx(0.0, abs=1e-6)
 
 
+@pytest.mark.slow
 def test_elpips_deterministic_and_finite(params, imgs):
     a, b = imgs
     e1 = lpips_lib.elpips(params, a, b, num_samples=3, seed=7)

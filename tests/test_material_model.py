@@ -96,6 +96,7 @@ def material_setup():
     return config, model, variables
 
 
+@pytest.mark.slow
 def test_material_forward_outputs(material_setup):
     config, model, variables = material_setup
     rays = pytrees.dummy_rays(4)
@@ -118,6 +119,7 @@ def test_material_param_structure_for_checkpoint_surgery(material_setup):
     assert {"Cache", "MaterialShader", "LightSampler"} <= top
 
 
+@pytest.mark.slow
 def test_material_train_steps_decrease_loss(material_setup):
     config, model, variables = material_setup
     dataset = datasets.SyntheticSpheres("train", None, config, num_images=2, resolution=16)
@@ -136,6 +138,7 @@ def test_material_train_steps_decrease_loss(material_setup):
     assert "data" in stats["losses"] and "cache_data" in stats["losses"]
 
 
+@pytest.mark.slow
 def test_extra_ray_regularizer():
     """extra_ray_loss renders fresh outgoing rays through the full model and
     penalizes material-vs-cache disagreement (train_utils.py:1305-1421)."""

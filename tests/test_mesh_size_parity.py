@@ -34,6 +34,7 @@ def _one_step(mesh, model, config, variables, batch, rng):
 
 
 @pytest.mark.parametrize("n_small", [1, 2])
+@pytest.mark.slow
 def test_step_invariant_to_mesh_size(n_small):
     devices = jax.devices()
     assert len(devices) >= 8, "conftest must provide the 8-device CPU mesh"

@@ -5,6 +5,7 @@ normalize_weight (train_utils.py:1455-1491), material_correlation
 (train_utils.py:2354-2503).
 """
 
+import pytest
 import dataclasses
 import functools
 
@@ -117,6 +118,7 @@ def test_normalize_weight_loss_l1_tether():
 # --- material correlation (integration through the train step) ------------------
 
 
+@pytest.mark.slow
 def test_material_correlation_in_train_step():
     config = Config(
         near=0.2, far=6.0, secondary_far=2.0, mask_lossmult=False,
@@ -149,6 +151,7 @@ def test_material_correlation_in_train_step():
     assert np.isfinite(float(stats["loss"]))
 
 
+@pytest.mark.slow
 def test_patch_loss_in_train_step():
     """patch_loss_mult>0 + patch_size>1 adds a finite 'patch' loss."""
     config = Config(

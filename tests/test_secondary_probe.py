@@ -23,6 +23,7 @@ def clean_gin():
     gin.clear_config()
 
 
+@pytest.mark.slow
 def test_secondary_probe_renders_and_saves(tmp_path_factory):
     """vis_secondary=True renders a panoramic probe view during eval and
     writes it under save/secondary/."""

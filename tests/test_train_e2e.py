@@ -142,6 +142,7 @@ def test_state_is_replicated_batch_is_sharded(trained):
     assert batch.rgb.sharding.spec == jax.sharding.PartitionSpec("data")
 
 
+@pytest.mark.slow
 def test_simplex_interpolation_learns():
     """Tetrahedral (4-tap) grid interpolation — the TPU-first flagship default
     — must train as well as trilinear on the same budget."""
@@ -184,6 +185,7 @@ def test_simplex_interpolation_learns():
         TINY_GRID.update(saved)
 
 
+@pytest.mark.slow
 def test_debug_mode_instrumentation():
     """Config.debug_mode: per-module weight/grad summaries + ray histograms
     land in stats (reference train_utils.py:3101-3156)."""
@@ -216,6 +218,7 @@ def test_debug_mode_instrumentation():
         assert np.isfinite(float(v))
 
 
+@pytest.mark.slow
 def test_analytic_normals_full_geometry_losses():
     """Train step with ANALYTIC density normals (disable_density_normals=
     False, as the nero/glossy/transient configs use) plus every geometry
@@ -279,6 +282,7 @@ def test_analytic_normals_full_geometry_losses():
     assert np.isfinite(float(stats["loss"]))
 
 
+@pytest.mark.slow
 def test_gradient_checkpointing_step_and_save_name_policy():
     """Remat path: one checkpointed train step runs, and the save-name
     policy resolves per model type (material saves the IPE-lift residuals,

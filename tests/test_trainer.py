@@ -29,6 +29,7 @@ def run(args):
     train_with_trainer.main(args)
 
 
+@pytest.mark.slow
 def test_cache_stage_trains_and_checkpoints(tmp_path_factory):
     ckpt = str(tmp_path_factory.mktemp("ckpt") / "spheres_cache")
     run(TINY + [
@@ -49,6 +50,7 @@ def test_cache_stage_trains_and_checkpoints(tmp_path_factory):
     shutil.copytree(ckpt, "/tmp/nrc_test_cache_ckpt", dirs_exist_ok=True)
 
 
+@pytest.mark.slow
 def test_material_stage_warm_start_and_eval(tmp_path_factory):
     source = "/tmp/nrc_test_cache_ckpt"
     if not os.path.isdir(source):

@@ -51,6 +51,7 @@ def cache_params():
     }
 
 
+@pytest.mark.slow
 def test_transient_cache_forward():
     config = make_config()
     config = config.__class__(**{**config.__dict__, "learnable_light": False})
@@ -66,6 +67,7 @@ def test_transient_cache_forward():
     assert out["render"]["transient_indirect"].shape == (4, N_BINS, 3)
 
 
+@pytest.mark.slow
 def test_transient_material_forward_and_grads():
     config = make_config()
     model = TransientMaterialModel(
@@ -149,6 +151,7 @@ def test_shift_transient_matches_map_coordinates():
 
 
 @pytest.mark.parametrize("backend", ["fft", "matmul"])
+@pytest.mark.slow
 def test_shift_and_integrate_matches_gather_path(backend):
     """The spectral fused shift+integrate (both the native-FFT and the
     matmul-DFT backends) must equal the two-tap gather path (shift then
@@ -190,6 +193,7 @@ def test_shift_and_integrate_matches_gather_path(backend):
         render.set_spectral_backend(prev_backend)
 
 
+@pytest.mark.slow
 def test_transient_train_step_e2e():
     """Full sharded train step on the time-binned cache: data loss shapes
     with the extra bins axis (lossmult [B,1] vs target [B,bins,3]) and the
@@ -222,6 +226,7 @@ def test_transient_train_step_e2e():
     assert np.isfinite(float(stats["loss"]))
 
 
+@pytest.mark.slow
 def test_transient_material_train_step_e2e():
     """Sharded train step on the TRANSIENT material stage: time-binned data
     loss + consistency losses + gradient debias over the full staged model,
