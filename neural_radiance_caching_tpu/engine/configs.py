@@ -219,6 +219,12 @@ class Config:
     light_intensity_conditioning: bool = False
     light_intensity_conditioning_scale: float = 1.0
     light_intensity_conditioning_bias: float = 0.0
+    # Condition the indirect nets on azimuth-invariant light features in the
+    # local surface frame (n-dot-l, view/light tangential geometry, log
+    # distance) instead of the raw world light position. Turns novel-light-
+    # azimuth relighting into interpolation (parity-plus; the reference
+    # trains one run per fixed illumination, datasets.py:3271-3410).
+    light_canonical_frame: bool = False
     sl_relight: bool = False
     sl_hfov: float = 10.0
     sl_vfov: float = 10.0

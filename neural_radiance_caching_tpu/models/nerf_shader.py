@@ -27,6 +27,47 @@ from neural_radiance_caching_tpu.utils import jaxutil
 from neural_radiance_caching_tpu.utils.jaxutil import stopgrad_with_weight
 
 
+def canonical_light_features(lights, means, normals, viewdirs):
+    """Azimuth-invariant light conditioning in the local surface frame.
+
+    lights/viewdirs broadcast against means/normals `[..., S, 3]`. Returns
+    `[..., S, 5]`: [n·l, n·v, l_t·v_t, |l_t||v_t|, log d] with l the unit
+    point→light direction, v the unit outgoing view direction, *_t their
+    tangential components, d the light distance. The channels depend only
+    on elevations, relative view↔light azimuth, and distance — jointly
+    rotating light and view about the local normal leaves them unchanged
+    (the absolute-azimuth gauge an isotropic response cannot depend on).
+    A novel light azimuth at eval therefore lands inside the bounded,
+    densely-sampled canonical ranges instead of outside the raw-position
+    encoding's support (the relight-generalization gap on the physical
+    multi-illum row, BASELINE.md r3). The frame inputs are stop-gradiented:
+    conditioning must not drive geometry.
+    """
+    sg = jax.lax.stop_gradient
+    mu = sg(means)
+    n = sg(normals)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-6)
+    offset = lights - mu
+    dist = jnp.linalg.norm(offset, axis=-1, keepdims=True)
+    l_dir = offset / jnp.maximum(dist, 1e-6)
+    v_dir = -viewdirs * jnp.ones_like(n)
+    v_dir = v_dir / jnp.maximum(
+        jnp.linalg.norm(v_dir, axis=-1, keepdims=True), 1e-6
+    )
+    cos_l = math.dot(n, l_dir)
+    cos_v = math.dot(n, v_dir)
+    l_tan = l_dir - cos_l * n
+    v_tan = v_dir - cos_v * n
+    tan_dot = math.dot(l_tan, v_tan)
+    sin_prod = jnp.linalg.norm(l_tan, axis=-1, keepdims=True) * jnp.linalg.norm(
+        v_tan, axis=-1, keepdims=True
+    )
+    return jnp.concatenate(
+        [cos_l, cos_v, tan_dot, sin_prod, jnp.log(jnp.maximum(dist, 1e-6))],
+        axis=-1,
+    )
+
+
 @gin.configurable
 class BaseNeRFMLP(shading.BaseShader):
     config: Any = None
@@ -253,6 +294,22 @@ class BaseNeRFMLP(shading.BaseShader):
         x = jnp.concatenate([bottleneck, self.lights_enc_fn(lights)], axis=-1)
         x = self.run_irradiance_network(x)
         return self.irradiance_activation(self.irradiance_layer(x) + self.irradiance_bias)
+
+    def light_conditioning(self, rays, means, normals):
+        """Per-sample light conditioning for the indirect nets.
+
+        Default: the raw world light position broadcast per sample (the
+        reference's convention). With `Config.light_canonical_frame`, the
+        absolute-azimuth-free surface-frame encoding of
+        `canonical_light_features` (see its docstring), the relight-
+        generalization lever for the multi-illum rows (BASELINE.md r3).
+        """
+        lights = rays.lights[..., None, :] * jnp.ones_like(normals)
+        if not getattr(self.config, "light_canonical_frame", False):
+            return lights
+        return canonical_light_features(
+            rays.lights[..., None, :], means, normals, rays.viewdirs[..., None, :]
+        )
 
     def _get_refdirs(self, viewdirs, normals, kwargs):
         if "refdirs" in kwargs:
@@ -789,7 +846,8 @@ class NeRFMLP(BaseNeRFMLP):
 
         indirect_diffuse = (
             self.get_indirect(
-                lights=rays.lights[..., None, :] * jnp.ones_like(normals), bottleneck=feature
+                lights=self.light_conditioning(rays, means, shading_normals),
+                bottleneck=feature,
             )
             * self.indirect_scale
         )
@@ -833,7 +891,8 @@ class TransientNeRFMLP(BaseNeRFMLP):
 
         transient_indirect_diffuse = (
             self.get_indirect(
-                lights=rays.lights[..., None, :] * jnp.ones_like(normals), bottleneck=feature
+                lights=self.light_conditioning(rays, means, shading_normals),
+                bottleneck=feature,
             )
             * self.indirect_scale
         )

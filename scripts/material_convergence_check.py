@@ -144,6 +144,15 @@ ROUGHNESS_BIAS = (
     if "--roughness-bias" in sys.argv else None
 )
 
+# --light-canonical: condition the indirect nets on azimuth-invariant light
+# features in the surface frame (Config.light_canonical_frame) — the
+# relight-generalization lever for the multi-illum rows, where TEST views
+# carry novel light azimuths (BASELINE.md round-3 physical multi-illum row).
+LIGHT_CANONICAL = "--light-canonical" in sys.argv
+# --views N: number of training views (multi-illum rows double azimuth
+# density with --views 32: one azimuth per view).
+NUM_VIEWS = _int_flag("--views", 16)
+
 # Batch/resolution overrides make a tiny-shape CPU smoke of any flag combo
 # possible before committing an hour of chip time to it.
 BATCH = _int_flag("--batch", 8192)
@@ -153,6 +162,9 @@ RES = _int_flag("--res", 128)
 # panorama + vMF visualization artifacts from the trained model through the
 # Trainer's own probe methods (reference trainer.py:1991-2052).
 PROBE_DIR = _str_flag("--probe-dir")
+# --eval-dump DIR: save the scored pred/gt view arrays (defaults to
+# <ckpt_root>/eval, set in main) for offline SSIM/LPIPS scoring.
+EVAL_DUMP_DIR = _str_flag("--eval-dump")
 
 
 def make_config(**overrides):
@@ -183,6 +195,7 @@ def make_config(**overrides):
             else ("physical" if PHYSICAL_SCENE else "legacy")
         ),
         synthetic_spheres_multi_illum=MULTI_ILLUM,
+        light_canonical_frame=LIGHT_CANONICAL,
     )
     base.update(overrides)
     return Config(**base)
@@ -255,6 +268,17 @@ def eval_material(model, config, state, test_ds, view=0):
     pred = np.clip(np.asarray(rendering["rgb"]).reshape(H, W, 3), 0, 1)
     mse = np.mean((pred - gt) ** 2)
     out["psnr"] = -10 * np.log10(mse + 1e-12)
+
+    # Dump the scored view so run_evaluation.py can add SSIM/LPIPS offline
+    # (on CPU, after the chip run) without re-rendering — the quality rows
+    # in BASELINE.md carry LPIPS from these dumps.
+    if EVAL_DUMP_DIR:
+        import os
+
+        os.makedirs(f"{EVAL_DUMP_DIR}/pred", exist_ok=True)
+        os.makedirs(f"{EVAL_DUMP_DIR}/gt", exist_ok=True)
+        np.save(f"{EVAL_DUMP_DIR}/pred/{view:03d}.npy", pred)
+        np.save(f"{EVAL_DUMP_DIR}/gt/{view:03d}.npy", gt)
 
     mask = np.asarray(batch.masks).reshape(-1) > 0.5
     if "material_albedo" in rendering:
@@ -333,7 +357,7 @@ def main():
     rng = jax.random.PRNGKey(11)
 
     config = make_config()
-    train_ds = datasets.SyntheticSpheres("train", None, config, num_images=16,
+    train_ds = datasets.SyntheticSpheres("train", None, config, num_images=NUM_VIEWS,
                                          resolution=RES)
     print(f"[cache] training {CACHE_STEPS} steps @ batch {BATCH}", flush=True)
     if LAYOUT == "reference":
@@ -360,9 +384,14 @@ def main():
            if bench.SECONDARY_LEVEL_CLAMP else [])
         + ([f"pw{bench.PROPOSAL_WIDTH}"] if "--proposal-width" in sys.argv else [])
         + ([f"rb{ROUGHNESS_BIAS:g}"] if ROUGHNESS_BIAS is not None else [])
+        + (["lc"] if LIGHT_CANONICAL else [])
+        + ([f"v{NUM_VIEWS}"] if NUM_VIEWS != 16 else [])
         + [f"{CACHE_STEPS}x{MAT_STEPS}", f"b{BATCH}x{MAT_BATCH}", f"r{RES}"]
     )
     ckpt_root = _str_flag("--ckpt-root", f"/tmp/{tag}")
+    global EVAL_DUMP_DIR
+    if EVAL_DUMP_DIR is None:
+        EVAL_DUMP_DIR = f"{ckpt_root}/eval"
     cache_state = train_model(
         cache_model, config, train_ds, CACHE_STEPS, rng,
         ckpt_dir=f"{ckpt_root}/cache",
@@ -400,7 +429,7 @@ def main():
         # renders the material stage at chunk 1024).
         render_chunk_size=1024,
     )
-    mat_ds = datasets.SyntheticSpheres("train", None, mat_config, num_images=16,
+    mat_ds = datasets.SyntheticSpheres("train", None, mat_config, num_images=NUM_VIEWS,
                                        resolution=RES)
     print(f"[material] training {MAT_STEPS} steps @ batch {MAT_BATCH}", flush=True)
     shader_extras = {}
