@@ -114,12 +114,14 @@ def main():
         "count": len(psnrs),
     }
     if elpipss:
-        # Implementation deviations from the reference E-LPIPS (ops/lpips.py):
-        # crop-mode transforms only, feature dropout omitted. Numbers are
-        # self-consistent but not directly comparable to reference E-LPIPS.
-        result["elpips_caveat"] = "crop-mode, no-dropout ensemble (see ops/lpips.py)"
-        print("note: E-LPIPS here is the crop-mode, no-dropout ensemble; "
-              "do not cross-compare naively with reference E-LPIPS values")
+        # Matches the reference's fast_and_approximate ensemble: crop-mode
+        # transforms + shared network dropout keep_prob=0.99 (ops/lpips.py).
+        # The non-approximate reference mode additionally uses scaling/color
+        # transforms — hence the remaining caveat string.
+        result["elpips_caveat"] = (
+            "fast_and_approximate ensemble: crop-mode transforms, "
+            "keep_prob=0.99 network dropout (see ops/lpips.py)"
+        )
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:

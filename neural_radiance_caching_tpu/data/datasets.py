@@ -237,6 +237,19 @@ def flatten_data(images, dim=3):
     return flatten_and_concat(images, dim), flatten_and_concat(indices, 3)
 
 
+def _convolve_bins(x, kernel):
+    """Correlate `[N, bins, ch]` transients with a symmetric 1-D kernel along
+    the bin axis ('same' size) — numerically identical to the model-side
+    `jax.scipy.signal.convolve(x, k[None, :, None], mode="same")` for the
+    symmetric kernels used here."""
+    half = len(kernel) // 2
+    pad = np.pad(x, ((0, 0), (half, half), (0, 0)))
+    out = np.zeros_like(x)
+    for i, w in enumerate(kernel):
+        out += w * pad[:, i : i + x.shape[1], :]
+    return out
+
+
 def flatten_transient_data(images, n_bins, num_rgb_channels=3):
     """Transient image list -> (pixels [P,T,C], indices [P,3])."""
     pixels, indices = flatten_data(
@@ -2115,11 +2128,29 @@ class SyntheticSpheres(Dataset):
         idx = np.nonzero(hit)[0]
         out[idx, b0] += rgb[hit] * (1 - frac)
         out[idx, b0 + 1] += rgb[hit] * frac
+        if config.synthetic_spheres_impulse_sigma > 0:
+            out = _convolve_bins(out, self._impulse_kernel(config))
         return out
+
+    @staticmethod
+    def _impulse_kernel(config):
+        """Gaussian sensor impulse response (odd length, unit mass) shared
+        by the GT transients and — via rays.impulse_response — the model's
+        rendering, so both sides of the IoU carry the same pulse width."""
+        sigma = float(config.synthetic_spheres_impulse_sigma)
+        half = max(1, int(np.ceil(3.0 * sigma)))
+        taps = np.arange(-half, half + 1, dtype=np.float64)
+        k = np.exp(-(taps**2) / (2.0 * sigma**2))
+        return (k / k.sum()).astype(np.float32)
 
     def _load_renderings(self, config):
         res = self._resolution
         focal = 1.2 * res
+        if config.use_transient and config.synthetic_spheres_impulse_sigma > 0:
+            # The model convolves its rendering with rays.impulse_response
+            # (integrator.py filter_primary path) — hand it the same kernel
+            # the GT transients are convolved with.
+            self.impulse_response = self._impulse_kernel(config)
         camtoworlds = camera_utils.generate_spherical_poses(
             self._num_images, radius=4.0, seed=17 if self.split == "train" else 31
         )

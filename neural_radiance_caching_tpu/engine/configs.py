@@ -82,6 +82,13 @@ class Config:
     # leaves the split under-constrained up to any spatial factor that
     # matches the one illumination field.
     synthetic_spheres_multi_illum: bool = False
+    # Sensor impulse response width (in bins) for the procedural transient
+    # GT: >0 convolves the analytically-binned transients with a Gaussian
+    # pulse AND hands the same kernel to the model via rays.impulse_response
+    # — reproducing the captured pipeline's wide-pulse metric conditions
+    # (reference trainer.py:1626-1647 scores IoU between signals that both
+    # carry the sensor IR).
+    synthetic_spheres_impulse_sigma: float = 0.0
     multiscale: bool = False
     multiscale_levels: int = 4
     forward_facing: bool = False

@@ -60,9 +60,18 @@ def render_image(
         transferred."""
         start = starts[count]
         stop = min(start + chunk, num_rays)
-        chunk_rays = jax.tree_util.tree_map(
-            lambda x: _pad_rows(np.asarray(x[start:stop]), chunk), rays
+        # rays.impulse_response is a GLOBAL 1-D sensor kernel, not a per-ray
+        # leaf: slicing/padding it to the chunk size would hand the
+        # transient convolution a chunk-length "kernel".
+        kernel = rays.impulse_response
+        per_ray = (
+            rays.replace(impulse_response=None) if kernel is not None else rays
         )
+        chunk_rays = jax.tree_util.tree_map(
+            lambda x: _pad_rows(np.asarray(x[start:stop]), chunk), per_ray
+        )
+        if kernel is not None:
+            chunk_rays = chunk_rays.replace(impulse_response=np.asarray(kernel))
         outs = []
         for rep in range(render_repeats):
             rep_rng = jax.random.fold_in(rng, count * 131 + rep)

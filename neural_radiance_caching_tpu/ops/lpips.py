@@ -191,6 +191,42 @@ def vgg16_features(params, x, pool: str = "max", compute_dtype=jnp.float32):
     return feats
 
 
+def vgg16_features_pair(params, x0, x1, pool: str = "max",
+                        compute_dtype=jnp.float32,
+                        dropout_rng=None, dropout_keep=0.99):
+    """Both images through the net with SHARED pre-conv dropout masks.
+
+    Matches the reference E-LPIPS network dropout (elpips/networks.py:60-70):
+    before every conv, one Bernoulli(keep_prob) mask — scaled by 1/keep — is
+    sampled at the activation shape and applied to BOTH images' tensors, so
+    the ensemble perturbs the feature subspace the distance is measured in,
+    not the distance itself. dropout_rng=None disables dropout (then this is
+    two `vgg16_features` passes).
+    """
+    feats0, feats1 = [], []
+    h0 = x0.astype(compute_dtype)
+    h1 = x1.astype(compute_dtype)
+    end_set = set(SLICE_ENDS)
+    rng = dropout_rng
+    for i, (w, b) in enumerate(params["convs"]):
+        if rng is not None:
+            rng, key = jax.random.split(rng)
+            mask = (
+                jax.random.uniform(key, h0.shape) < dropout_keep
+            ).astype(compute_dtype) / dropout_keep
+            h0 = h0 * mask
+            h1 = h1 * mask
+        h0 = _conv(h0, w, b)
+        h1 = _conv(h1, w, b)
+        if i in end_set:
+            feats0.append(h0)
+            feats1.append(h1)
+            if i != SLICE_ENDS[-1]:
+                h0 = _pool2(h0, pool)
+                h1 = _pool2(h1, pool)
+    return feats0, feats1
+
+
 def _normalize_features(f, eps=1e-10):
     # Unit-normalize along channels in float32 (pnetlin.py:20-23).
     f = f.astype(jnp.float32)
@@ -199,11 +235,14 @@ def _normalize_features(f, eps=1e-10):
 
 
 @functools.partial(jax.jit, static_argnames=("pool", "compute_dtype"))
-def lpips(params, img0, img1, pool: str = "max", compute_dtype=jnp.float32):
+def lpips(params, img0, img1, pool: str = "max", compute_dtype=jnp.float32,
+          dropout_rng=None, dropout_keep=0.99):
     """LPIPS distance between images in [0,1]. Accepts [H,W,3] or [N,H,W,3].
 
     Returns a scalar ([H,W,3] inputs) or an [N] vector. Matches the
     reference net-lin/vgg pipeline (lpips_tf.py:29-92, pnetlin.py:148-181).
+    `dropout_rng` enables the E-LPIPS shared network dropout
+    (see vgg16_features_pair).
     """
     squeeze = img0.ndim == 3
     if squeeze:
@@ -215,8 +254,10 @@ def lpips(params, img0, img1, pool: str = "max", compute_dtype=jnp.float32):
         im = im.astype(jnp.float32) * 2.0 - 1.0
         return (im - shift) / scale
 
-    f0 = vgg16_features(params, prep(img0), pool=pool, compute_dtype=compute_dtype)
-    f1 = vgg16_features(params, prep(img1), pool=pool, compute_dtype=compute_dtype)
+    f0, f1 = vgg16_features_pair(
+        params, prep(img0), prep(img1), pool=pool, compute_dtype=compute_dtype,
+        dropout_rng=dropout_rng, dropout_keep=dropout_keep,
+    )
     total = 0.0
     for a, b, lin in zip(f0, f1, params["lins"]):
         diff = jnp.square(_normalize_features(a) - _normalize_features(b))
@@ -272,14 +313,15 @@ def _apply_transform(img, t):
 
 
 def elpips(params, img0, img1, num_samples: int = 8, seed: int = 0,
-           num_scales: Optional[int] = None):
+           num_scales: Optional[int] = None, dropout_keep: float = 0.99):
     """E-LPIPS: expectation of LPIPS over the input-transformation ensemble.
 
     Matches reference evaluation/elpips/elpips.py with
     `fast_and_approximate=True` (crop-based) and the vgg_ensemble metric
-    (average-pooled VGG). Images: [H,W,3] in [0,1]. Deterministic in `seed`.
-    Dropout is omitted (it perturbs features by <1% at keep_prob=0.99 and
-    would force per-sample recompilation).
+    (average-pooled VGG), including the per-sample shared network dropout
+    (config.enable_dropout, keep_prob 0.99 — elpips.py:17-18,
+    networks.py:60-70). Images: [H,W,3] in [0,1]. Deterministic in `seed`.
+    `dropout_keep=1.0` disables dropout.
     """
     img0 = np.asarray(img0, np.float32)
     img1 = np.asarray(img1, np.float32)
@@ -289,10 +331,15 @@ def elpips(params, img0, img1, num_samples: int = 8, seed: int = 0,
         num_scales = max(1, min(h, w) // 64)
     rng = np.random.RandomState(seed)
     vals = []
-    for _ in range(num_samples):
+    for k in range(num_samples):
         t = _sample_transform(rng, h, w, num_scales)
         a = _apply_transform(img0, t)
         b = _apply_transform(img1, t)
+        drop_rng = (
+            jax.random.PRNGKey((seed * 7919 + k) & 0x7FFFFFFF)
+            if dropout_keep < 1.0 else None
+        )
         vals.append(float(lpips(params, jnp.asarray(a), jnp.asarray(b),
-                                pool="avg")))
+                                pool="avg", dropout_rng=drop_rng,
+                                dropout_keep=dropout_keep)))
     return float(np.mean(vals))

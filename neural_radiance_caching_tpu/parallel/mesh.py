@@ -45,12 +45,33 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def rays_shardings(mesh: Mesh):
+    """Per-field in_shardings prefix for a Rays argument: batch-sharded
+    per-ray leaves, replicated `impulse_response` (the 1-D sensor kernel
+    shared by every ray — batch-sharding it would require the kernel length
+    to divide the mesh size)."""
+    import dataclasses
+
+    from neural_radiance_caching_tpu.utils import pytrees
+
+    bs = batch_sharding(mesh)
+    vals = {f.name: bs for f in dataclasses.fields(pytrees.Rays)}
+    vals["impulse_response"] = replicated_sharding(mesh)
+    return pytrees.Rays(**vals)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Device-put every array field of a pytree with the batch sharding.
 
     The leading dimension must be divisible by the mesh size. Unlike the
     reference's shard(), no [D, B/D] reshape happens — the global shape is
     preserved and XLA sees a [B]-shaped array laid out across devices.
+
+    `rays.impulse_response` (the 1-D sensor kernel, shared by every ray) is
+    the one GLOBAL leaf in the batch pytree: it is replicated, not
+    batch-sharded. The jitted train step inherits these committed shardings
+    (its batch in_sharding is None), so every caller must go through this
+    function (or DevicePrefetcher, which does).
     """
     sharding = batch_sharding(mesh)
 
@@ -59,7 +80,33 @@ def shard_batch(batch, mesh: Mesh):
             return None
         return jax.device_put(x, sharding)
 
-    return jax.tree_util.tree_map(put, batch)
+    repl = replicated_sharding(mesh)
+    rays = getattr(batch, "rays", None)  # Batch vs bare Rays
+    ray_kernel = getattr(rays if rays is not None else batch,
+                         "impulse_response", None)
+    batch_kernel = (
+        getattr(batch, "impulse_response", None) if rays is not None else None
+    )
+    strip = batch
+    if ray_kernel is not None:
+        strip = (
+            strip.replace(rays=strip.rays.replace(impulse_response=None))
+            if rays is not None
+            else strip.replace(impulse_response=None)
+        )
+    if batch_kernel is not None:
+        strip = strip.replace(impulse_response=None)
+    out = jax.tree_util.tree_map(put, strip)
+    if ray_kernel is not None:
+        kernel = jax.device_put(ray_kernel, repl)
+        out = (
+            out.replace(rays=out.rays.replace(impulse_response=kernel))
+            if rays is not None
+            else out.replace(impulse_response=kernel)
+        )
+    if batch_kernel is not None:
+        out = out.replace(impulse_response=jax.device_put(batch_kernel, repl))
+    return out
 
 
 class DevicePrefetcher:

@@ -524,12 +524,16 @@ def create_train_step(
         stats["param_norm"] = losses_lib.tree_norm(state.params)
         return new_state, stats
 
-    batch_sharding = mesh_lib.batch_sharding(mesh)
     repl = mesh_lib.replicated_sharding(mesh)
 
+    # The batch arg inherits its committed shardings (in_sharding None):
+    # every leaf is batch-sharded by mesh_lib.shard_batch/DevicePrefetcher,
+    # EXCEPT rays.impulse_response (the 1-D sensor kernel), which those
+    # helpers replicate — a single sharding here would force an invalid
+    # kernel-length/mesh-size split. Callers must shard_batch first.
     return jax.jit(
         train_step,
-        in_shardings=(repl, repl, batch_sharding, None),
+        in_shardings=(repl, repl, None, None),
         out_shardings=(repl, repl),
         donate_argnums=(1,),
         compiler_options=compiler_options,
@@ -545,7 +549,10 @@ def create_render_fn(model, mesh=None, **apply_kwargs):
     """
     if mesh is None:
         mesh = mesh_lib.create_mesh()
-    batch_sharding = mesh_lib.batch_sharding(mesh)
+    # Per-field prefix: rays leaves batch-sharded, the 1-D sensor kernel
+    # replicated (render chunks arrive as raw numpy, so the placement must
+    # happen here at the jit boundary).
+    batch_sharding = mesh_lib.rays_shardings(mesh)
     repl = mesh_lib.replicated_sharding(mesh)
     # compute_extras=False compiles an RGB-centric program (no AOV buffers)
     # for interactive/preview renders; full extras remain the default.

@@ -68,6 +68,17 @@ N_IMAGES = (
     if "--images" in sys.argv
     else 8
 )
+# --impulse-sigma S: sensor impulse response width in bins. >0 makes both
+# the GT transients AND the model rendering carry the same Gaussian pulse
+# (Config.synthetic_spheres_impulse_sigma -> rays.impulse_response), i.e.
+# the captured-pipeline metric conditions under which the reference's IoU
+# numbers are computed (its GT and renderings both carry the sensor IR,
+# ref trainer.py:1626-1647). Raw IoU is then the headline metric.
+IMPULSE_SIGMA = (
+    float(sys.argv[sys.argv.index("--impulse-sigma") + 1])
+    if "--impulse-sigma" in sys.argv
+    else 0.0
+)
 
 
 def make_config(**overrides):
@@ -96,6 +107,7 @@ def make_config(**overrides):
         predicted_normal_loss_mult=0.05,
         predicted_normal_reverse_loss_mult=0.05,
         render_chunk_size=512,
+        synthetic_spheres_impulse_sigma=IMPULSE_SIGMA,
     )
     base.update(overrides)
     from neural_radiance_caching_tpu.engine.configs import Config
@@ -123,6 +135,10 @@ def main():
 
     # Resume after interruptions (the axon tunnel flaps mid-run).
     ckpt_dir = f"/tmp/trconv-{STEPS}x{N_BINS}-b{BATCH}-r{RES}-i{N_IMAGES}"
+    if IMPULSE_SIGMA > 0:
+        # Behavior-changing knob -> its own checkpoint namespace (tag rule,
+        # .claude/skills/verify: resuming across GT variants is invalid).
+        ckpt_dir += f"-is{IMPULSE_SIGMA:g}"
     start_step = 0
     resume = ckpt_lib.latest_checkpoint_step(ckpt_dir)
     if resume is not None:
@@ -206,7 +222,7 @@ def main():
         f"RESULT transient_iou={iou:.4f} smoothed_iou={iou_s:.4f} "
         f"integrated_psnr={int_psnr:.2f} "
         f"peak_bin_mae={peak_err:.2f} bins={N_BINS} steps={STEPS} "
-        f"images={N_IMAGES}",
+        f"images={N_IMAGES} impulse_sigma={IMPULSE_SIGMA:g}",
         flush=True,
     )
 

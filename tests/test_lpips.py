@@ -204,3 +204,29 @@ def test_elpips_deterministic_and_finite(params, imgs):
     assert lpips_lib.elpips(params, a, a, num_samples=2, seed=0) == pytest.approx(
         0.0, abs=1e-6
     )
+
+
+def test_elpips_network_dropout(params, imgs):
+    """The E-LPIPS shared network dropout (reference networks.py:60-70):
+    deterministic in seed, a small perturbation at keep_prob=0.99, exactly
+    the no-dropout ensemble at keep_prob=1.0, and zero self-distance (the
+    mask is shared between both images, so identical inputs stay identical
+    through every layer)."""
+    import jax
+
+    a, b = imgs
+    e_drop = lpips_lib.elpips(params, a, b, num_samples=3, seed=7)
+    e_drop2 = lpips_lib.elpips(params, a, b, num_samples=3, seed=7)
+    assert e_drop == e_drop2
+    e_nodrop = lpips_lib.elpips(params, a, b, num_samples=3, seed=7,
+                                dropout_keep=1.0)
+    assert e_drop != e_nodrop
+    # keep_prob=0.99 perturbs the expectation by a few percent, not more.
+    assert abs(e_drop - e_nodrop) / max(abs(e_nodrop), 1e-9) < 0.25
+    assert lpips_lib.elpips(params, a, a, num_samples=2, seed=0) == pytest.approx(
+        0.0, abs=1e-6
+    )
+    # Direct lpips() with a dropout key: shared-mask self-distance is 0.
+    d = float(lpips_lib.lpips(params, a, a, pool="avg",
+                              dropout_rng=jax.random.PRNGKey(3)))
+    assert d == pytest.approx(0.0, abs=1e-6)

@@ -284,3 +284,93 @@ def test_transient_material_train_step_e2e():
     state, stats = step(jax.random.PRNGKey(0), state, batch, 0.5)
     assert np.isfinite(float(stats["loss"]))
     assert "data" in stats["losses"] and "cache_data" in stats["losses"]
+
+
+def test_wide_pulse_transient_gt_and_ray_kernel():
+    """synthetic_spheres_impulse_sigma>0: the GT transients are the sigma=0
+    transients convolved with the sensor kernel, the dataset hands the same
+    kernel to rays.impulse_response, and the numpy GT convolution matches
+    the model-side jax.scipy convolve exactly (both sides of the IoU carry
+    the same pulse — reference trainer.py:1626-1647 metric conditions)."""
+    from neural_radiance_caching_tpu.data import datasets
+    from neural_radiance_caching_tpu.data.datasets import _convolve_bins
+
+    base_kwargs = dict(
+        near=2.0, far=6.0, use_transient=True, n_bins=32, exposure_time=0.5,
+        dataset_loader="synthetic_spheres", batch_size=8, max_steps=2,
+    )
+    cfg0 = Config(**base_kwargs)
+    cfg1 = Config(synthetic_spheres_impulse_sigma=2.0, **base_kwargs)
+    ds0 = datasets.SyntheticSpheres("train", None, cfg0, num_images=1, resolution=8)
+    ds1 = datasets.SyntheticSpheres("train", None, cfg1, num_images=1, resolution=8)
+
+    kernel = ds1.impulse_response
+    assert kernel is not None and len(kernel) % 2 == 1
+    np.testing.assert_allclose(kernel.sum(), 1.0, atol=1e-6)
+    assert ds0.impulse_response is None
+
+    flat0 = ds0.images.reshape(-1, 32, 3)
+    flat1 = ds1.images.reshape(-1, 32, 3)
+    np.testing.assert_allclose(flat1, _convolve_bins(flat0, kernel), atol=1e-5)
+    # Energy preserved away from the clip boundary, pulse widened.
+    assert (flat1.max(axis=1) <= flat0.max(axis=1) + 1e-6).all()
+
+    # GT-side numpy conv == model-side jax.scipy conv (integrator path).
+    jconv = jax.scipy.signal.convolve(
+        jnp.asarray(flat0), jnp.asarray(kernel)[None, :, None], mode="same"
+    )
+    np.testing.assert_allclose(np.asarray(jconv), _convolve_bins(flat0, kernel),
+                               atol=1e-5)
+
+    # The ray batch carries the kernel so the rendering is convolved too.
+    batch = ds1.next_train()
+    assert batch.rays.impulse_response is not None
+    np.testing.assert_allclose(np.asarray(batch.rays.impulse_response), kernel)
+
+
+def test_wide_pulse_train_and_render_on_mesh():
+    """The global 1-D sensor kernel must survive the sharded pipeline: the
+    8-virtual-device mesh cannot batch-shard a kernel-length leaf
+    (shard_batch replicates it; the train step inherits the committed
+    shardings) and the eval chunker must not pad it to the chunk size."""
+    from neural_radiance_caching_tpu.data import datasets
+    from neural_radiance_caching_tpu.engine import renderer
+    from neural_radiance_caching_tpu.parallel import mesh as mesh_lib
+    from neural_radiance_caching_tpu.parallel import train as train_lib
+
+    config = Config(
+        near=2.0, far=6.0, mask_lossmult=False, use_transient=True,
+        n_bins=N_BINS, exposure_time=0.5, dataset_loader="synthetic_spheres",
+        batch_size=32, max_steps=2, lr_init=1e-3, lr_final=1e-3,
+        lr_delay_steps=0, data_loss_type="mse",
+        interlevel_loss_mults=(0.01, 0.01),
+        interlevel_loss_blurs=(0.03, 0.003),
+        synthetic_spheres_impulse_sigma=1.5,
+        render_chunk_size=32,
+    )
+    model = TransientNeRFModel(config=config, **cache_params())
+    variables = jax.jit(functools.partial(model.init, train_frac=1.0, train=True))(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1), pytrees.dummy_rays(4)
+    )
+    dataset = datasets.SyntheticSpheres("train", None, config, num_images=2,
+                                        resolution=8)
+    assert dataset.impulse_response is not None
+    mesh = mesh_lib.create_mesh()
+    state, _ = train_lib.create_optimizer(config, variables)
+    state = mesh_lib.replicate(state, mesh)
+    step = train_lib.create_train_step(model, config, mesh=mesh)
+    batch = mesh_lib.shard_batch(dataset.next_train(), mesh)
+    assert batch.rays.impulse_response.shape == dataset.impulse_response.shape
+    state, stats = step(jax.random.PRNGKey(0), state, batch, 0.5)
+    assert np.isfinite(float(stats["loss"]))
+
+    # Eval path: chunked render with the kernel attached to full-image rays.
+    render_fn = train_lib.create_render_fn(model, mesh=mesh)
+    eval_batch = dataset.generate_ray_batch(0)
+    assert eval_batch.rays.impulse_response is not None
+    out = renderer.render_image(
+        render_fn, state.params, eval_batch.rays, jax.random.PRNGKey(7),
+        config, height=8, width=8, train_frac=1.0,
+    )
+    assert out["rgb"].shape == (8, 8, N_BINS, 3)
+    assert np.isfinite(out["rgb"]).all()
