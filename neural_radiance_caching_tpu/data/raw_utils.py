@@ -3,8 +3,9 @@
 Behavioral parity target: reference internal/raw_utils.py — the compute
 pipeline (bilinear Bayer demosaicking, Bayer masks, minimal raw→sRGB
 postprocessing, EXIF-driven exposure math, affine metric matching) is
-implemented in full; DNG decoding (`load_raw_images`) is gated on `rawpy`,
-which is not installed in this environment.
+implemented in full; DNG decoding (`load_raw_images`) runs through the
+from-scratch TIFF/LJPEG reader in `data/dng.py` (rawpy/libraw is not
+installed in this environment).
 """
 
 from __future__ import annotations
@@ -111,9 +112,33 @@ def process_exif(exifs):
     }
 
 
-def load_raw_images(*args, **kwargs):
-    raise ImportError(
-        "Loading raw DNG images requires the `rawpy` package, which is not "
-        "installed in this environment. The demosaicking/postprocessing "
-        "pipeline in this module operates on already-decoded Bayer arrays."
-    )
+def load_raw_images(image_dir, image_names=None):
+    """Load DNG raw mosaics + EXIF JSON sidecars from a directory.
+
+    Behavioral parity target: reference internal/raw_utils.py:160-199 —
+    returns (raws [N, H, W] float32 sensor mosaics, exifs [N] list of dicts).
+    The DNG decode is the from-scratch reader in `data/dng.py` (rawpy is
+    unavailable here); EXIF sidecars are the `exiftool -json` files the
+    reference pipeline produces next to each .dng.
+    """
+    import glob
+    import json
+    import os
+
+    from neural_radiance_caching_tpu.data import dng as dng_lib
+
+    if not os.path.isdir(image_dir):
+        raise ValueError(f"Raw image folder {image_dir} does not exist.")
+    if image_names is None:
+        image_names = [
+            os.path.basename(f)
+            for f in sorted(glob.glob(os.path.join(image_dir, "*.dng")))
+        ]
+    raws, exifs = [], []
+    for name in image_names:
+        base = os.path.join(image_dir, os.path.splitext(name)[0])
+        raws.append(dng_lib.read_dng(base + ".dng"))
+        with open(base + ".json", "rb") as f:
+            exif = json.load(f)
+            exifs.append(exif[0] if isinstance(exif, list) else exif)
+    return np.stack(raws, axis=0).astype(np.float32), exifs
