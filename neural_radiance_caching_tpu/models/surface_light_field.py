@@ -1,12 +1,20 @@
 """Surface light field / environment map MLPs.
 
-Behavioral parity target: reference internal/surface_light_field.py. A
-SurfaceLightFieldMLP answers "what radiance arrives at point o from direction
-d" without marching the full volume: it predicts a handful of distances along
-the query ray, looks up an NGP "reflectance grid" at those 3D points, and
-decodes RGB + alpha with a view-dependent MLP (IDE-encoded for roughness-aware
-prefiltering). Used as the cache's indirect/ambient specular source, the env
-map, and the material stage's control variate.
+Behavioral parity target: the reference's surface-light-field module
+(internal/surface_light_field.py) — same gin field surface, same flax
+parameter names, same outputs. A SurfaceLightFieldMLP answers "what radiance
+arrives at point o from direction d" without marching the full volume: a
+zeros-initialized head proposes a few distances along the query ray, an NGP
+"reflectance grid" is tapped at those 3D points, and a view-conditioned MLP
+(IDE-encoded for roughness-aware prefiltering) decodes RGB + alpha. Used as
+the cache's indirect/ambient specular source, the env map, and the material
+stage's control variate.
+
+Internally the computation is organized TPU-first around three phases —
+head decode (`_decode_head_channels`), sample placement (`_place_samples` /
+`_axis_plane_crossings`), and radiance decode (`_radiance_features` +
+trunks) — all static-shape, fusion-friendly elementwise pipelines.
+Numerics are pinned by tests/test_surface_light_field.py's golden fixture.
 """
 
 from __future__ import annotations
@@ -16,13 +24,51 @@ from typing import Any, Callable, Tuple, Union
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from neural_radiance_caching_tpu.engine import gin_config as gin
 from neural_radiance_caching_tpu.models import grids, shading
 from neural_radiance_caching_tpu.ops import coord, math, ref_utils, render
 from neural_radiance_caching_tpu.utils import jaxutil
+
+# The distance head packs, per proposed sample, a block of 8 channels; only
+# the ones named here are live (the rest are reserved padding, kept for
+# checkpoint-shape parity with the reference head). Trailing 4 channels of
+# the head are the env-map RGBA escape hatch.
+_HEAD_BLOCK = 8
+_HEAD_TAIL = 4
+_CH_LADDER_SHIFT = 0   # signed shift of this sample along the s-ladder
+_CH_SHIFT_GATE = 1     # sigmoid gate on the shift magnitude
+_CH_NUDGE_GATE = 2     # sigmoid gate on the 3D point nudge
+_CH_LOGIT = 4          # per-sample blend logit
+_CH_NUDGE = slice(5, 8)  # xyz point nudge
+
+
+def _unit_fold(s):
+    """Reflect an unbounded s-coordinate back into [0, 1] (triangle wave).
+
+    Equivalent to: even floor keeps the fractional part, odd floor mirrors
+    it — written here as a single mod/abs chain so XLA fuses it into the
+    surrounding elementwise graph without an int cast.
+    """
+    return 1.0 - jnp.abs(jnp.mod(s, 2.0) - 1.0)
+
+
+def _take_along_sample_axis(fields, order):
+    """Reorder every field in `fields` by `order` along its last axis.
+
+    For trailing-xyz fields ([..., K, 3]) the ordering indexes the LAST axis
+    with the repeated sample order — reproducing the reference's indexing
+    (which relies on XLA's index clipping when K > 3) bit-for-bit rather
+    than "fixing" it to a per-sample permutation.
+    """
+    out = {}
+    for name, value in fields.items():
+        idx = order
+        if value.ndim == order.ndim + 1:
+            idx = jnp.repeat(order[..., None], value.shape[-1], axis=-1)
+        out[name] = jnp.take_along_axis(value, idx, axis=-1)
+    return out
 
 
 @gin.configurable
@@ -151,20 +197,13 @@ class BaseSurfaceLightFieldMLP(shading.BaseShader):
         else:
             self.num_illumination_outputs = 1
         if self.rotate_illumination and self.config.rotate_illumination:
-            mats = []
-            for i in range(self.config.num_illuminations):
-                a = jnp.float32(self.config.light_rotations[i] / 180 * jnp.pi)
-                mats.append(
-                    jnp.array(
-                        [
-                            [jnp.cos(a), -jnp.sin(a), 0],
-                            [jnp.sin(a), jnp.cos(a), 0],
-                            [0, 0, 1],
-                        ],
-                        dtype=jnp.float32,
-                    )
-                )
-            self.light_rotation_matrix = jnp.stack(mats, axis=0)
+            self.light_rotation_matrix = jnp.stack(
+                [
+                    _z_rotation(self.config.light_rotations[i])
+                    for i in range(self.config.num_illuminations)
+                ],
+                axis=0,
+            )
 
         # Grids.
         self.grid = self._make_grid(name="distance_grid")
@@ -178,7 +217,8 @@ class BaseSurfaceLightFieldMLP(shading.BaseShader):
         else:
             self.reflectance_grid = None
 
-        # Layers.
+        # Layers (names are checkpoint surface — keep in sync with the
+        # reference's parameter tree).
         self.layers = [dense(self.net_width) for _ in range(self.net_depth)]
         self.bottleneck_layer = dense(self.bottleneck_width)
         self.view_dependent_layers = [
@@ -206,7 +246,8 @@ class BaseSurfaceLightFieldMLP(shading.BaseShader):
                 for i in range(self.net_depth_distance)
             ]
             self.output_distance_layer = zeros(
-                8 * self.num_distance_samples + 4, name="distance_output_layer"
+                _HEAD_BLOCK * self.num_distance_samples + _HEAD_TAIL,
+                name="distance_output_layer",
             )
         if self.use_density_prediction:
             self.density_layers = [
@@ -215,15 +256,208 @@ class BaseSurfaceLightFieldMLP(shading.BaseShader):
             ]
         self.output_density_layer = dense(1, name="output_density_layer")
 
-    # --- helpers -----------------------------------------------------------
+    # --- s <-> metric-distance warps ---------------------------------------
 
-    def get_light_vec(self, rays, feature):
-        light_vec = jnp.zeros_like(feature[..., 0:0])
-        if self.config.multi_illumination:
-            light_idx = rays.light_idx[..., 0]
-            light_vec = self.light_vecs(light_idx)
-            light_vec = light_vec[..., None, :] * jnp.ones_like(feature[..., 0:1])
-        return light_vec
+    def _ray_warp(self, anchor, lo, hi, uniform_both, uniform_forward=False):
+        """(t_to_s, s_to_t) between metric distance and normalized [0,1].
+
+        `anchor` only supplies the broadcast shape. `uniform_both` swaps in
+        affine maps in both directions; `uniform_forward` only linearizes
+        t_to_s (the loss-side normalization) while sampling keeps the warp.
+        """
+        if self.raydist_fn is not None:
+            warp, warp_inv, warp_kwargs = self.raydist_fn
+        else:
+            warp = warp_inv = lambda x: x
+            warp_kwargs = {}
+        t_to_s, s_to_t = coord.construct_ray_warps(
+            functools.partial(warp, **warp_kwargs),
+            jnp.ones_like(anchor) * lo,
+            jnp.ones_like(anchor) * hi,
+            fn_inv=functools.partial(warp_inv, **warp_kwargs),
+        )
+        span = hi - lo
+        if uniform_both:
+            s_to_t = lambda s: s * span + lo
+            t_to_s = lambda t: (t - lo) / span
+        elif uniform_forward:
+            t_to_s = lambda t: (t - lo) / span
+        return t_to_s, s_to_t
+
+    def _sample_space_warp(self, anchor):
+        """Warp pair over the distance-head's [distance_near, distance_far]."""
+        return self._ray_warp(
+            anchor, self.distance_near, self.distance_far,
+            uniform_both=self.use_uniform_distance,
+            uniform_forward=self.use_uniform_loss,
+        )
+
+    def _plane_space_warp(self, anchor):
+        """Warp pair over the voxel-plane stack's [voxel_start, voxel_end]."""
+        return self._ray_warp(
+            anchor, self.voxel_start, self.voxel_end,
+            uniform_both=self.use_uniform_grid,
+        )
+
+    def _tdist_to_s(self, rays, tdist):
+        t_to_s, _ = self._sample_space_warp(rays.near)
+        return t_to_s(tdist)
+
+    # --- distance head ------------------------------------------------------
+
+    def _distance_head_raw(self, bottleneck, origins, refdirs, roughness):
+        """Run the distance MLP; returns the packed [..., 8K+4] head output."""
+        feats = jnp.concatenate(
+            [
+                bottleneck,
+                self.origins_enc_fn(self.warp_fn(origins)),
+                self.dir_enc_fn_distance(refdirs, roughness),
+            ],
+            axis=-1,
+        )
+        h = self._run_skip_mlp(
+            feats, self.distance_layers, self.net_depth_distance, self.skip_layer_distance
+        )
+        return self.output_distance_layer(h)
+
+    def _decode_head_channels(self, raw):
+        """Split the packed head into named per-sample channels + env RGBA.
+
+        Returns (channels, env_rgb, env_alpha) where channels holds
+        'shift' (gated ladder shift), 'logit', 'nudge_gate', 'nudge'.
+        """
+        env_rgb = self.rgb_activation(
+            self.rgb_premultiplier * raw[..., -_HEAD_TAIL:-1] + self.rgb_bias
+        )
+        if self.use_env_alpha:
+            env_alpha = self.alpha_activation(raw[..., -1:] + self.alpha_bias)
+        else:
+            env_alpha = jnp.ones_like(raw[..., -1:])
+
+        k = self.num_distance_samples
+        block = raw[..., : -_HEAD_TAIL].reshape(raw.shape[:-1] + (k, _HEAD_BLOCK))
+        shift = (
+            block[..., _CH_LADDER_SHIFT]
+            * (self.distance_scale / k)
+            * nn.sigmoid(block[..., _CH_SHIFT_GATE] + self.distance_bias)
+        )
+        channels = {
+            "shift": shift,
+            "logit": block[..., _CH_LOGIT],
+            "nudge_gate": block[..., _CH_NUDGE_GATE],
+            "nudge": block[..., _CH_NUDGE],
+        }
+        return channels, env_rgb, env_alpha
+
+    # --- sample placement ---------------------------------------------------
+
+    def _s_ladder(self, lead_shape):
+        """Static per-sample base positions in s-space.
+
+        Uniform over (0,1) open interval; with far samples, the last
+        `num_far_samples` rungs are packed into [0.9, 1) (the far field).
+        """
+        k, k_far = self.num_distance_samples, self.num_far_samples
+        if k_far > 0:
+            rungs = jnp.concatenate(
+                [jnp.linspace(1e-8, 0.9, k - k_far), jnp.linspace(0.9, 1.0 - 1e-8, k_far)],
+                axis=-1,
+            )
+        else:
+            rungs = jnp.linspace(1e-8, 1.0 - 1e-8, k)
+        return rungs.reshape(tuple(1 for _ in lead_shape) + (-1,))
+
+    def _axis_plane_crossings(self, rays, origins, refdirs, shift):
+        """Voxel-mode placement: samples live on axis-aligned planes.
+
+        The head's shifts perturb a fixed stack of K/3 plane triplets; each
+        plane position is warped to metric space, then intersected with the
+        query ray per axis.
+        """
+        _, plane_s_to_t = self._plane_space_warp(rays.near[..., None, None])
+        k3 = self.num_distance_samples // 3
+        planes = shift.reshape(shift.shape[:-1] + (k3, 3))
+        stack = jnp.linspace(-1.0, 1.0, k3).reshape(
+            tuple(1 for _ in planes.shape[:-2]) + (k3, 1)
+        )
+        planes = 2.0 * planes + stack
+        planes = plane_s_to_t(jnp.abs(planes)) * jnp.sign(planes)
+        # Per-axis ray/plane intersection; degenerate directions pushed to
+        # +inf-ish so their crossings fall outside the valid range.
+        safe_dirs = jnp.where(jnp.abs(refdirs) < 1e-5, 1e12, refdirs)
+        t = (planes - origins[..., None, :]) / safe_dirs[..., None, :]
+        return t.reshape(planes.shape[:-2] + (self.num_distance_samples,))
+
+    def propose_samples(self, rng, rays, origins, refdirs, bottleneck, roughness, near=0.0,
+                        far=float("inf"), **kwargs):
+        """Propose per-ray sample points + the env-map escape color.
+
+        Parity: the reference's distance-prediction path in
+        internal/surface_light_field.py (predict_points). Pipeline: head
+        decode -> ladder (or voxel-plane) placement -> optional sort ->
+        range mask -> world-space points (+ gated nudge).
+
+        Returns (points, logits, valid_mask, s, t, env_rgb, env_alpha).
+        """
+        del rng, kwargs
+        t_to_s, s_to_t = self._sample_space_warp(rays.near[..., None])
+        ch, env_rgb, env_alpha = self._decode_head_channels(
+            self._distance_head_raw(bottleneck, origins, refdirs, roughness)
+        )
+
+        if self.use_voxel_grid:
+            t = self._axis_plane_crossings(rays, origins, refdirs, ch["shift"])
+            s = t_to_s(t)
+        else:
+            s = _unit_fold(ch["shift"] + self._s_ladder(ch["shift"].shape[:-1]))
+            t = s_to_t(s)
+
+        if self.use_sorted_distances:
+            order = jnp.argsort(t, axis=-1)
+            sorted_fields = _take_along_sample_axis(
+                {"t": t, "s": s, "logit": ch["logit"],
+                 "nudge_gate": ch["nudge_gate"], "nudge": ch["nudge"]},
+                order,
+            )
+            t, s = sorted_fields["t"], sorted_fields["s"]
+            ch.update(
+                logit=sorted_fields["logit"],
+                nudge_gate=sorted_fields["nudge_gate"],
+                nudge=sorted_fields["nudge"],
+            )
+
+        valid = (
+            (t > self.distance_near) & (t < self.distance_far) & (t > near) & (t < far)
+        ).astype(jnp.float32)
+        t = jnp.clip(t, self.distance_near, self.distance_far)
+
+        points = origins[..., None, :] + t[..., None] * refdirs[..., None, :]
+        if self.use_point_offsets:
+            points = points + (
+                nn.tanh(ch["nudge"])
+                * self.point_offset_scale
+                * nn.sigmoid(ch["nudge_gate"] + self.point_offset_bias)[..., None]
+            )
+
+        return points, ch["logit"], valid, s, t, env_rgb, env_alpha
+
+    # --- per-point density decode ------------------------------------------
+
+    def _alpha_feature_density(self, feat):
+        h = self._run_skip_mlp(
+            feat, self.density_layers, self.net_depth_density, self.skip_layer_density
+        )
+        return self.density_activation(
+            self.output_density_layer(h)[..., 0] + self.density_bias
+        )
+
+    # --- misc helpers -------------------------------------------------------
+
+    def _illum_feature(self, rays, feature):
+        if not self.config.multi_illumination:
+            return jnp.zeros_like(feature[..., 0:0])
+        per_ray = self.light_vecs(rays.light_idx[..., 0])
+        return per_ray[..., None, :] * jnp.ones_like(feature[..., 0:1])
 
     def _run_skip_mlp(self, x, layers, depth, skip):
         inputs = x
@@ -233,149 +467,30 @@ class BaseSurfaceLightFieldMLP(shading.BaseShader):
                 x = jnp.concatenate([x, inputs], axis=-1)
         return x
 
-    def run_distances_network(self, bottleneck, origins, refdirs, roughness):
-        dir_enc = self.dir_enc_fn_distance(refdirs, roughness)
-        origins_enc = self.origins_enc_fn(self.warp_fn(origins))
-        x = jnp.concatenate([bottleneck, origins_enc, dir_enc], axis=-1)
-        x = self._run_skip_mlp(
-            x, self.distance_layers, self.net_depth_distance, self.skip_layer_distance
+    def _rotated_refdirs(self, rays, refdirs):
+        """Apply the per-illumination z-rotation to the query directions."""
+        light_idx = rays.light_idx
+        sh = light_idx.shape
+        table = self.light_rotation_matrix.reshape(
+            tuple(1 for _ in sh[:-1]) + (self.config.num_illuminations, 9)
         )
-        return self.output_distance_layer(x)
-
-    def run_density_network(self, feat):
-        x = self._run_skip_mlp(
-            feat, self.density_layers, self.net_depth_density, self.skip_layer_density
-        )
-        raw = self.output_density_layer(x)[..., 0]
-        return self.density_activation(raw + self.density_bias)
-
-    def get_raydist_fns(self, rays_near):
-        if self.raydist_fn is not None:
-            fn, fn_inv, kw = self.raydist_fn
-        else:
-            fn = lambda x: x
-            fn_inv = lambda x: x
-            kw = {}
-        t_to_s, s_to_t = coord.construct_ray_warps(
-            functools.partial(fn, **kw),
-            jnp.ones_like(rays_near) * self.distance_near,
-            jnp.ones_like(rays_near) * self.distance_far,
-            fn_inv=functools.partial(fn_inv, **kw),
-        )
-        if self.use_uniform_distance:
-            s_to_t = lambda x: x * (self.distance_far - self.distance_near) + self.distance_near
-            t_to_s = lambda x: (x - self.distance_near) / (self.distance_far - self.distance_near)
-        elif self.use_uniform_loss:
-            t_to_s = lambda x: (x - self.distance_near) / (self.distance_far - self.distance_near)
-        return t_to_s, s_to_t
-
-    def get_voxel_raydist_fns(self, rays_near):
-        fn, fn_inv, kw = self.raydist_fn
-        t_to_s, s_to_t = coord.construct_ray_warps(
-            functools.partial(fn, **kw),
-            jnp.ones_like(rays_near) * self.voxel_start,
-            jnp.ones_like(rays_near) * self.voxel_end,
-            fn_inv=functools.partial(fn_inv, **kw),
-        )
-        if self.use_uniform_grid:
-            s_to_t = lambda x: x * (self.voxel_end - self.voxel_start) + self.voxel_start
-            t_to_s = lambda x: (x - self.voxel_start) / (self.voxel_end - self.voxel_start)
-        return t_to_s, s_to_t
-
-    def convert_to_sdist(self, rays, tdist):
-        t_to_s, _ = self.get_raydist_fns(rays.near)
-        return t_to_s(tdist)
-
-    def predict_points(self, rng, rays, origins, refdirs, bottleneck, roughness, near=0.0,
-                       far=float("inf"), **kwargs):
-        """Predict per-ray sample distances/points + env color and alpha.
-
-        Mirrors surface_light_field.py:594-780: a zeros-initialized head emits
-        per-sample distance offsets folded around a uniform s-ladder, then
-        mapped to metric distance with the raydist warp.
-        """
-        del rng, kwargs
-        t_to_s, s_to_t = self.get_raydist_fns(rays.near[..., None])
-        out = self.run_distances_network(bottleneck, origins, refdirs, roughness)
-
-        env_rgb = self.rgb_activation(self.rgb_premultiplier * out[..., -4:-1] + self.rgb_bias)
-        if self.use_env_alpha:
-            env_alpha = self.alpha_activation(out[..., -1:] + self.alpha_bias)
-        else:
-            env_alpha = jnp.ones_like(out[..., -1:])
-
-        out = out[..., :-4]
-        out = out.reshape(
-            out.shape[:-1] + (self.num_distance_samples, out.shape[-1] // self.num_distance_samples)
-        )
-        distance_offsets = out[..., 0]
-        distance_sigma = out[..., 1]
-        point_sigma = out[..., 2]
-        raw_weights = out[..., 4]
-        point_offsets = out[..., 5:8]
-
-        distance_offsets = (
-            distance_offsets
-            * self.distance_scale
-            / self.num_distance_samples
-            * nn.sigmoid(distance_sigma + self.distance_bias)
+        rot = jnp.take_along_axis(table, light_idx[..., None], axis=-2)[..., 0, :]
+        rot = rot.reshape(sh[:-1] + (1, 3, 3))
+        return (
+            rot[..., :3, 0] * refdirs[..., 0:1]
+            + rot[..., :3, 1] * refdirs[..., 1:2]
+            + rot[..., :3, 2] * refdirs[..., 2:3]
         )
 
-        if self.use_voxel_grid:
-            _, voxel_s_to_t = self.get_voxel_raydist_fns(rays.near[..., None, None])
-            distance_offsets = distance_offsets.reshape(distance_offsets.shape[:-1] + (-1, 3))
-            distance_offsets = 2.0 * distance_offsets + jnp.linspace(
-                -1.0, 1.0, self.num_distance_samples // 3
-            ).reshape(tuple(1 for _ in distance_offsets.shape[:-2]) + (-1, 1))
-            distance_offsets = voxel_s_to_t(jnp.abs(distance_offsets)) * jnp.sign(distance_offsets)
-            d = jnp.where(jnp.abs(refdirs) < 1e-5, 1e12, refdirs)
-            distances = (distance_offsets - origins[..., None, :]) / d[..., None, :]
-            distances = distances.reshape(
-                distance_offsets.shape[:-2] + (self.num_distance_samples,)
-            )
-            s_distances = t_to_s(distances)
-        else:
-            if self.num_far_samples > 0:
-                s1 = jnp.linspace(1e-8, 0.9, self.num_distance_samples - self.num_far_samples)
-                s2 = jnp.linspace(0.9, 1.0 - 1e-8, self.num_far_samples)
-                start = jnp.concatenate([s1, s2], axis=-1)
-            else:
-                start = jnp.linspace(1e-8, 1.0 - 1e-8, self.num_distance_samples)
-            start = start.reshape(tuple(1 for _ in distance_offsets.shape[:-1]) + (-1,))
-            s = distance_offsets + start
-            # Fold out-of-range samples back into [0, 1] (triangle wave).
-            s_floor = jnp.floor(s).astype(jnp.int32)
-            s_frac = s - s_floor.astype(jnp.float32)
-            s_distances = jnp.where((s_floor % 2) == 0, s_frac, 1.0 - s_frac)
-            distances = s_to_t(s_distances)
+    def _select_illumination(self, rays, rgb, like):
+        """Pick this ray's illumination slice from the multi-output head."""
+        light_idx = rays.light_idx[..., None, :] * jnp.ones_like(like[..., 0:1]).astype(
+            rays.light_idx.dtype
+        )
+        rgb = rgb.reshape(rgb.shape[:-1] + (self.num_illumination_outputs, -1))
+        return jnp.take_along_axis(rgb, light_idx[..., None], axis=-2)[..., 0, :]
 
-        if self.use_sorted_distances:
-            idx = jnp.argsort(distances, axis=-1)
-            take = lambda v: jnp.take_along_axis(v, idx, axis=-1)
-            distances, s_distances = take(distances), take(s_distances)
-            raw_weights, point_sigma = take(raw_weights), take(point_sigma)
-            point_offsets = jnp.take_along_axis(
-                point_offsets, jnp.repeat(idx[..., None], 3, axis=-1), axis=-1
-            )
-
-        ref_mask = (
-            (distances > self.distance_near)
-            & (distances < self.distance_far)
-            & (distances > near)
-            & (distances < far)
-        ).astype(jnp.float32)
-        distances = jnp.clip(distances, self.distance_near, self.distance_far)
-
-        points = origins[..., None, :] + distances[..., None] * refdirs[..., None, :]
-        if self.use_point_offsets:
-            point_offsets = (
-                nn.tanh(point_offsets)
-                * self.point_offset_scale
-                * nn.sigmoid(point_sigma + self.point_offset_bias)[..., None]
-            )
-            points = points + point_offsets
-
-        return points, raw_weights, ref_mask, s_distances, distances, env_rgb, env_alpha
+    # --- radiance decode ----------------------------------------------------
 
     @nn.compact
     def __call__(
@@ -396,28 +511,14 @@ class BaseSurfaceLightFieldMLP(shading.BaseShader):
         origins = origins.reshape(refdirs.shape[:-2] + (-1, 3)) * jnp.ones_like(refdirs)
 
         if "cache_tdist" in kwargs:
-            outputs["cache_sdist"] = self.convert_to_sdist(rays, kwargs["cache_tdist"])
+            outputs["cache_sdist"] = self._tdist_to_s(rays, kwargs["cache_tdist"])
             if dist_only:
                 return outputs
 
         if self.rotate_illumination and self.config.rotate_illumination:
-            light_idx = rays.light_idx
-            sh = light_idx.shape
-            rot = self.light_rotation_matrix.reshape(
-                tuple(1 for _ in sh[:-1]) + (self.config.num_illuminations, 9)
-            )
-            rot = jnp.take_along_axis(rot, light_idx[..., None], axis=-2)[..., 0, :]
-            rot = rot.reshape(sh[:-1] + (1, 3, 3))
-            refdirs = (
-                rot[..., :3, 0] * refdirs[..., 0:1]
-                + rot[..., :3, 1] * refdirs[..., 1:2]
-                + rot[..., :3, 2] * refdirs[..., 2:3]
-            )
+            refdirs = self._rotated_refdirs(rays, refdirs)
 
-        x = []
-        if self.use_origins:
-            x.append(self.origins_enc_fn(origins))
-
+        # Bottleneck source: appearance grid > shader handoff > zeros.
         if self.use_grid:
             key, rng = jaxutil.random_split(rng)
             pa_kwargs = self.get_predict_appearance_kwargs(key, rays, sampler_results)
@@ -429,13 +530,17 @@ class BaseSurfaceLightFieldMLP(shading.BaseShader):
         else:
             bottleneck = jnp.zeros_like(refdirs)
 
+        feats = []
+        if self.use_origins:
+            feats.append(self.origins_enc_fn(origins))
         if self.use_bottleneck:
-            x.append(bottleneck)
+            feats.append(bottleneck)
         if self.config.multi_illumination and self.use_illumination_feature:
-            x.append(self.get_light_vec(rays, bottleneck))
+            feats.append(self._illum_feature(rays, bottleneck))
         if self.use_shader_bottleneck:
-            x.append(shader_bottleneck)
+            feats.append(shader_bottleneck)
 
+        # Sample proposal (or the degenerate single-sample defaults).
         s_distances = jnp.zeros_like(bottleneck[..., 0:1])
         distances = jnp.zeros_like(bottleneck[..., 0:1])
         raw_weights = jnp.ones_like(bottleneck[..., 0:1])
@@ -448,7 +553,7 @@ class BaseSurfaceLightFieldMLP(shading.BaseShader):
         if self.use_distance_prediction:
             key, rng = jaxutil.random_split(rng)
             (points, raw_weights, ref_mask, s_distances, distances, env_rgb, env_alpha) = (
-                self.predict_points(key, rays, origins, refdirs, bottleneck, roughness, **kwargs)
+                self.propose_samples(key, rays, origins, refdirs, bottleneck, roughness, **kwargs)
             )
             points = self.ref_warp_fn(points) if self.ref_warp_fn is not None else points
             ref_weights = jax.nn.softmax(raw_weights, axis=-1)
@@ -472,7 +577,7 @@ class BaseSurfaceLightFieldMLP(shading.BaseShader):
                 train_frac=train_frac,
             )
             if self.use_density_prediction:
-                ref_density = self.run_density_network(ref_grid_feat)
+                ref_density = self._alpha_feature_density(ref_grid_feat)
                 ref_weights, _, _ = render.compute_alpha_weights(
                     ref_density * self.density_activation(raw_weights + self.density_bias),
                     None,
@@ -484,18 +589,21 @@ class BaseSurfaceLightFieldMLP(shading.BaseShader):
                 s_distances = (s_distances * ref_weights).sum(axis=-1, keepdims=True)
 
             if self.per_ref_feature_output:
-                feat_x = self._run_skip_mlp(
+                # Decode each proposed point separately and composite RGB.
+                h = self._run_skip_mlp(
                     ref_grid_feat,
                     self.view_dependent_layers,
                     self.net_depth_viewdirs,
                     self.skip_layer_dir,
                 )
-                raw_rgba = self.output_rgba_layer(feat_x)
-                rgb = self.rgb_activation(self.rgb_premultiplier * raw_rgba[..., :3] + self.rgb_bias)
-                alpha = nn.sigmoid(raw_rgba[..., -1:] - 1.0)
-                rgb = (rgb[..., :3] * ref_weights[..., None]).sum(axis=-2)
-                outputs["incoming_rgb"] = rgb
-                outputs["incoming_alpha"] = alpha
+                raw_rgba = self.output_rgba_layer(h)
+                per_point_rgb = self.rgb_activation(
+                    self.rgb_premultiplier * raw_rgba[..., :3] + self.rgb_bias
+                )
+                outputs["incoming_rgb"] = (
+                    per_point_rgb[..., :3] * ref_weights[..., None]
+                ).sum(axis=-2)
+                outputs["incoming_alpha"] = nn.sigmoid(raw_rgba[..., -1:] - 1.0)
                 outputs["incoming_env_rgba"] = jnp.concatenate([env_rgb, env_alpha], axis=-1)
                 outputs["incoming_weights"] = ref_weights
                 outputs["incoming_s_dist"] = s_distances
@@ -503,39 +611,38 @@ class BaseSurfaceLightFieldMLP(shading.BaseShader):
                 outputs["incoming_acc"] = ref_weights.sum(axis=-1)
                 return outputs
 
-            ref_grid_feat = (ref_grid_feat * ref_weights[..., None]).sum(axis=-2)
-            x.append(ref_grid_feat)
+            feats.append((ref_grid_feat * ref_weights[..., None]).sum(axis=-2))
         else:
             s_distances = s_distances.mean(axis=-1, keepdims=True)
 
         if self.use_points:
-            p = ref_utils.l2_normalize(points)
-            if self.use_points_ide:
-                x.append(self.points_enc_fn(p, roughness[..., None, :]).reshape(
-                    origins.shape[:-1] + (-1,)
-                ))
-            else:
-                x.append(self.points_enc_fn(p, train_frac).reshape(origins.shape[:-1] + (-1,)))
-
+            unit_points = ref_utils.l2_normalize(points)
+            scale_arg = roughness[..., None, :] if self.use_points_ide else train_frac
+            feats.append(
+                self.points_enc_fn(unit_points, scale_arg).reshape(origins.shape[:-1] + (-1,))
+            )
         if self.use_sphere_points:
-            sphere_points = ref_utils.l2_normalize(origins + self.sphere_radius * refdirs)
-            x.append(self.sphere_points_enc_fn(sphere_points))
-
+            feats.append(
+                self.sphere_points_enc_fn(
+                    ref_utils.l2_normalize(origins + self.sphere_radius * refdirs)
+                )
+            )
         if self.use_directional_enc:
-            x.append(self.dir_enc_fn(refdirs, roughness))
+            feats.append(self.dir_enc_fn(refdirs, roughness))
 
-        x = jnp.concatenate(x, axis=-1)
+        x = jnp.concatenate(feats, axis=-1)
+
+        # Two trunks: the lit (light-conditioned) branch and the ambient
+        # branch. Without lights the single trunk serves both heads.
         if self.use_lights:
             ambient_x = self._run_skip_mlp(
                 x, self.ambient_view_dependent_layers, self.net_depth_viewdirs, self.skip_layer_dir
             )
-            lights_enc = self.lights_enc_fn(
-                self.warp_fn(rays.lights[..., None, :] * jnp.ones_like(origins))
-                if self.warp_fn is not None
-                else rays.lights[..., None, :] * jnp.ones_like(origins)
-            )
+            light_pos = rays.lights[..., None, :] * jnp.ones_like(origins)
+            if self.warp_fn is not None:
+                light_pos = self.warp_fn(light_pos)
             x = self._run_skip_mlp(
-                jnp.concatenate([x, lights_enc], axis=-1),
+                jnp.concatenate([x, self.lights_enc_fn(light_pos)], axis=-1),
                 self.view_dependent_layers,
                 self.net_depth_viewdirs,
                 self.skip_layer_dir,
@@ -549,14 +656,8 @@ class BaseSurfaceLightFieldMLP(shading.BaseShader):
         raw_rgba = self.output_rgba_layer(x)
         rgb = self.rgb_activation(self.rgb_premultiplier * raw_rgba[..., :-1] + self.rgb_bias)
         alpha = jnp.clip(self.alpha_activation(raw_rgba[..., -1:] + self.alpha_bias), 0.0, 1.0)
-
         if self.config.multi_illumination and self.multiple_illumination_outputs:
-            light_idx = rays.light_idx[..., None, :] * jnp.ones_like(bottleneck[..., 0:1]).astype(
-                rays.light_idx.dtype
-            )
-            rgb = rgb.reshape(rgb.shape[:-1] + (self.num_illumination_outputs, -1))
-            rgb = jnp.take_along_axis(rgb, light_idx[..., None], axis=-2)[..., 0, :]
-
+            rgb = self._select_illumination(rays, rgb, bottleneck)
         ambient_rgb = self.ambient_rgb_activation(
             self.output_ambient_rgb_layer(ambient_x) + self.ambient_rgb_bias
         )
@@ -570,6 +671,13 @@ class BaseSurfaceLightFieldMLP(shading.BaseShader):
         outputs["incoming_env_rgba"] = jnp.concatenate([env_rgb, env_alpha], axis=-1)
         outputs["incoming_acc"] = ref_weights.sum(axis=-1)
         return outputs
+
+
+def _z_rotation(degrees):
+    """3x3 rotation about +z by `degrees` (illumination rig turntable)."""
+    a = jnp.float32(degrees / 180 * jnp.pi)
+    c, s = jnp.cos(a), jnp.sin(a)
+    return jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]], dtype=jnp.float32)
 
 
 @gin.configurable

@@ -252,7 +252,7 @@ def train_model(model, config, dataset, steps, rng, init_params=None, graft=None
     return state
 
 
-def eval_material(model, config, state, test_ds, view=0):
+def eval_material(model, config, state, test_ds, view=0, stage="material"):
     mesh = mesh_lib.create_mesh()
     render_fn = train_lib.create_render_fn(model, mesh=mesh)
     batch = test_ds.generate_ray_batch(view)
@@ -275,10 +275,13 @@ def eval_material(model, config, state, test_ds, view=0):
     if EVAL_DUMP_DIR:
         import os
 
-        os.makedirs(f"{EVAL_DUMP_DIR}/pred", exist_ok=True)
-        os.makedirs(f"{EVAL_DUMP_DIR}/gt", exist_ok=True)
-        np.save(f"{EVAL_DUMP_DIR}/pred/{view:03d}.npy", pred)
-        np.save(f"{EVAL_DUMP_DIR}/gt/{view:03d}.npy", gt)
+        # Stage-namespaced: a cache-only check and a material check sharing a
+        # ckpt root must not overwrite each other's scored views (ADVICE r4).
+        dump = f"{EVAL_DUMP_DIR}/{stage}"
+        os.makedirs(f"{dump}/pred", exist_ok=True)
+        os.makedirs(f"{dump}/gt", exist_ok=True)
+        np.save(f"{dump}/pred/{view:03d}.npy", pred)
+        np.save(f"{dump}/gt/{view:03d}.npy", gt)
 
     mask = np.asarray(batch.masks).reshape(-1) > 0.5
     if "material_albedo" in rendering:
@@ -401,7 +404,8 @@ def main():
         # Cache-only quality check: report the cache render's test PSNR.
         test_ds = datasets.SyntheticSpheres("test", None, config, num_images=2,
                                             resolution=RES)
-        metrics = eval_material(cache_model, config, cache_state, test_ds)
+        metrics = eval_material(cache_model, config, cache_state, test_ds,
+                                stage="cache")
         print(f"RESULT layout={LAYOUT} scene={SCENE_TAG} "
               + " ".join(f"{k}={v:.3f}" for k, v in metrics.items()),
               flush=True)
