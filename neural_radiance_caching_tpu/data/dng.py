@@ -107,20 +107,28 @@ def _pick_raw_ifd(ifds: List[Dict]) -> Dict:
                * int(np.atleast_1d(i[_T_LENGTH])[0]))
 
 
-def _unpack_samples(buf: bytes, bits: int, count: int, endian: str) -> np.ndarray:
-    """Unpack big-endian-bit-packed integer samples (TIFF fill order 1)."""
+def _unpack_samples(buf: bytes, bits: int, rows: int, row_width: int,
+                    endian: str) -> np.ndarray:
+    """Unpack packed integer samples -> uint16 [rows, row_width].
+
+    TIFF fill order 1 (MSB-first). Bit-packed (10/12/14-bit) data pads each
+    ROW of uncompressed data to a byte boundary (TIFF6 §Compression), so odd
+    widths must be decoded per row-stride, not as one continuous bitstream.
+    """
+    count = rows * row_width
     if bits == 8:
-        return np.frombuffer(buf, np.uint8, count).astype(np.uint16)
+        return np.frombuffer(buf, np.uint8, count).astype(np.uint16).reshape(
+            rows, row_width)
     if bits == 16:
         dt = np.dtype(np.uint16).newbyteorder("<" if endian == "<" else ">")
-        return np.frombuffer(buf, dt, count).astype(np.uint16)
-    # 10/12/14-bit: MSB-first bit-packing per the TIFF6/DNG spec.
-    arr = np.frombuffer(buf, np.uint8)
-    bitstream = np.unpackbits(arr)
-    usable = (len(bitstream) // bits) * bits
-    groups = bitstream[:usable].reshape(-1, bits)[:count]
+        return np.frombuffer(buf, dt, count).astype(np.uint16).reshape(
+            rows, row_width)
+    stride = (row_width * bits + 7) // 8
+    arr = np.frombuffer(buf, np.uint8, rows * stride).reshape(rows, stride)
+    row_bits = np.unpackbits(arr, axis=1)[:, : row_width * bits]
+    groups = row_bits.reshape(rows, row_width, bits)
     weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint32)
-    return (groups.astype(np.uint32) * weights).sum(1).astype(np.uint16)
+    return (groups.astype(np.uint32) * weights).sum(-1).astype(np.uint16)
 
 
 # --- lossless JPEG (SOF3) ----------------------------------------------------
@@ -216,6 +224,7 @@ def decode_ljpeg(data: bytes) -> np.ndarray:
     precision = height = width = 0
     comps: List[Tuple[int, int]] = []  # (component id, table id)
     predictor, point_transform = 1, 0
+    restart_interval = 0
     scan_start = None
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -241,6 +250,8 @@ def decode_ljpeg(data: bytes) -> np.ndarray:
             height, width = struct.unpack_from(">HH", seg, 1)
             ncomp = seg[5]
             comps = [(seg[6 + 3 * i], 0) for i in range(ncomp)]
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
             ncomp = seg[0]
             comps = [
@@ -253,6 +264,12 @@ def decode_ljpeg(data: bytes) -> np.ndarray:
         pos += seglen
     if scan_start is None:
         raise ValueError("lossless JPEG stream has no SOS segment")
+    if restart_interval:
+        # RSTn markers mid-scan require predictor reset + bit realignment;
+        # decoding them as a plain stream would silently corrupt the image.
+        raise NotImplementedError(
+            "lossless JPEG with restart markers (DRI) is not supported"
+        )
 
     ncomp = len(comps)
     reader = _BitReader(data[scan_start:])
@@ -291,6 +308,10 @@ def decode_ljpeg(data: bytes) -> np.ndarray:
                     else:
                         raise ValueError(f"bad predictor {predictor}")
                 out[row, col, ci] = (int(pred) + diff) & 0xFFFF
+    # Samples are coded at reduced precision under a point transform; scale
+    # back up per JPEG annex H / DNG spec.
+    if point_transform:
+        out <<= point_transform
     return out.reshape(height, width * ncomp)
 
 
@@ -339,10 +360,11 @@ def read_dng(path_or_bytes) -> np.ndarray:
         buf = data[off : off + cnt]
         y0 = (k // tiles_x) * th
         x0 = (k % tiles_x) * tw
-        rows = min(th, height - y0)
+        # Tiles always carry full tile-sized payloads (TIFF6 pads the edge
+        # tiles); the LAST strip carries only the image's remaining rows.
+        rows = th if tiled else min(th, height - y0)
         if compression == 1:
-            block = _unpack_samples(buf, bits, th * tw, endian)[: th * tw]
-            block = block.reshape(th, tw)
+            block = _unpack_samples(buf, bits, rows, tw, endian)
         elif compression == 7:
             block = decode_ljpeg(buf).astype(np.uint16)
             if block.shape[1] != tw:  # N-component scans span N columns
@@ -352,6 +374,7 @@ def read_dng(path_or_bytes) -> np.ndarray:
                 f"DNG compression {compression} not supported "
                 "(supported: 1=uncompressed, 7=lossless JPEG)"
             )
+        out_rows = min(rows, height - y0)
         cols = min(tw, width - x0)
-        mosaic[y0 : y0 + rows, x0 : x0 + cols] = block[:rows, :cols]
+        mosaic[y0 : y0 + out_rows, x0 : x0 + cols] = block[:out_rows, :cols]
     return mosaic

@@ -29,7 +29,7 @@ def _entry(tag, typ, values):
 
 
 def _write_dng(path, payloads, width, height, bits, compression,
-               tile=None, photometric=32803):
+               tile=None, photometric=32803, rows_per_strip=None):
     """One-IFD DNG: strip data (tile=None) or square tiles of size `tile`."""
     entries = [
         _entry(0x00FE, 4, [0]),
@@ -68,7 +68,7 @@ def _write_dng(path, payloads, width, height, bits, compression,
         off_e, off_blob = arr_entry(0x0144, offsets)
         cnt_e, cnt_blob = arr_entry(0x0145, counts)
     else:
-        entries.append(_entry(0x0116, 4, [height]))
+        entries.append(_entry(0x0116, 4, [rows_per_strip or height]))
         off_e, off_blob = arr_entry(0x0111, offsets)
         cnt_e, cnt_blob = arr_entry(0x0117, counts)
     entries += [off_e, cnt_e]
@@ -125,10 +125,10 @@ class _BitWriter:
         return bytes(self.out)
 
 
-def _encode_ljpeg(img, precision=16, ncomp=1):
+def _encode_ljpeg(img, precision=16, ncomp=1, point_transform=0):
     """Encode [H, W] -> SOF3 stream with `ncomp` column-interleaved comps."""
     h, w = img.shape
-    img = img.astype(np.int64)
+    img = img.astype(np.int64) >> point_transform
     assert w % ncomp == 0
     width = w // ncomp
     # Huffman table: ssss categories 0..16, canonical codes of length 5
@@ -153,7 +153,7 @@ def _encode_ljpeg(img, precision=16, ncomp=1):
             for ci in range(ncomp):
                 x = img[row, col * ncomp + ci]
                 if row == 0 and col == 0:
-                    pred = 1 << (precision - 1)
+                    pred = 1 << (precision - point_transform - 1)
                 elif col == 0:
                     pred = prev_row[0, ci]
                 else:
@@ -186,7 +186,7 @@ def _encode_ljpeg(img, precision=16, ncomp=1):
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00])
-    sos += bytes([1, 0, 0])  # predictor 1, Se=0, Ah/Al=0
+    sos += bytes([1, 0, point_transform])  # predictor 1, Se=0, Ah<<4|Al
     return (b"\xff\xd8" + seg(0xC4, dht) + seg(0xC3, sof) + seg(0xDA, sos)
             + scan + b"\xff\xd9")
 
@@ -276,3 +276,56 @@ def test_load_raw_images_end_to_end(tmp_path, mosaic):
 def test_missing_dir_raises():
     with pytest.raises(ValueError, match="does not exist"):
         raw_utils.load_raw_images("/nonexistent/raw/dir")
+
+
+def test_partial_last_strip_16bit(tmp_path):
+    """RowsPerStrip=4, height=10: last strip carries only 2 rows (ADVICE r4)."""
+    rng = np.random.RandomState(2)
+    m = rng.randint(0, 65535, size=(10, 6)).astype(np.uint16)
+    strips = [m[y : y + 4].astype("<u2").tobytes() for y in range(0, 10, 4)]
+    path = tmp_path / "partial.dng"
+    _write_dng(path, strips, 6, 10, 16, 1, rows_per_strip=4)
+    out = dng_lib.read_dng(str(path))
+    np.testing.assert_array_equal(out, m.astype(np.float32))
+
+
+def test_partial_last_strip_12bit_packed(tmp_path):
+    """Bit-packed multi-strip with a short last strip decodes exactly."""
+    rng = np.random.RandomState(3)
+    m = rng.randint(0, 4095, size=(10, 8)).astype(np.uint16)
+    strips = [_pack12(m[y : y + 4].reshape(-1)) for y in range(0, 10, 4)]
+    path = tmp_path / "partial12.dng"
+    _write_dng(path, strips, 8, 10, 12, 1, rows_per_strip=4)
+    out = dng_lib.read_dng(str(path))
+    np.testing.assert_array_equal(out, m.astype(np.float32))
+
+
+def test_packed12_odd_width_row_padded(tmp_path):
+    """TIFF6 pads each packed row to a byte boundary: odd widths must not
+    drift after row 0 (ADVICE r4)."""
+    rng = np.random.RandomState(4)
+    m = rng.randint(0, 4095, size=(4, 7)).astype(np.uint16)
+    payload = b"".join(_pack12(row) for row in m)  # per-row padding
+    path = tmp_path / "odd12.dng"
+    _write_dng(path, [payload], 7, 4, 12, 1)
+    out = dng_lib.read_dng(str(path))
+    np.testing.assert_array_equal(out, m.astype(np.float32))
+
+
+def test_ljpeg_point_transform(tmp_path, mosaic):
+    """Al>0 scans code samples at reduced precision; the decoder must scale
+    the output back up by 2^Al (ADVICE r4)."""
+    stream = _encode_ljpeg(mosaic, precision=16, point_transform=2)
+    decoded = dng_lib.decode_ljpeg(stream)
+    np.testing.assert_array_equal(
+        decoded, (mosaic.astype(np.int64) >> 2) << 2
+    )
+
+
+def test_ljpeg_dri_raises(mosaic):
+    """Restart-marker streams must refuse loudly, not decode garbage."""
+    stream = _encode_ljpeg(mosaic, precision=16)
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 8)
+    soi, rest = stream[:2], stream[2:]
+    with pytest.raises(NotImplementedError, match="restart"):
+        dng_lib.decode_ljpeg(soi + dri + rest)
