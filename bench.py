@@ -74,6 +74,12 @@ WARMUP_STEPS = 3
 BENCH_STEPS = 20
 MATERIAL_BENCH_STEPS = 10
 TRANSIENT_BENCH_STEPS = 10
+# Quality GATE floor for the 200-step trained-PSNR canary (fixed steps,
+# seed, scene — r3/r4 measured 22.8 dB). Below this the bench still prints
+# its JSON line (the driver contract) but exits nonzero with a stderr
+# notice: a silent quality regression must fail loudly, not ride along as
+# a detail field (VERDICT r4 weak #5).
+TRAINED_PSNR_FLOOR = 20.0
 
 # Measured reference-relative anchors, recorded where BASELINE.md documents
 # the runs that produced them. Update alongside any re-measurement.
@@ -880,6 +886,16 @@ def main():
 
 CACHE_REMAT = False
 AB_RUN = False
+# Set when the trained-PSNR gate fails; checked after the JSON line prints.
+_QUALITY_GATE_FAILED = None
+
+
+def _exit_if_gate_failed():
+    import sys
+
+    if _QUALITY_GATE_FAILED:
+        print(f"bench QUALITY GATE {_QUALITY_GATE_FAILED}", file=sys.stderr)
+        raise SystemExit(1)
 
 
 def _cache_config():
@@ -922,11 +938,22 @@ def _main_default(only=None):
         cache_detail["samples_per_ray"] = 160
         try:
             # Held-out-view PSNR after a 200-step real-lr run of the benched
-            # model: the quality canary (VERDICT r3 #9) the throughput
-            # metrics cannot provide.
+            # model: the quality gate (VERDICT r3 #9 / r4 weak #5) the
+            # throughput metrics cannot provide.
             cache_detail["trained_psnr"] = trained_psnr_gate(
                 cache_model, config, dataset
             )
+            if cache_detail["trained_psnr"] < TRAINED_PSNR_FLOOR:
+                cache_detail["trained_psnr_gate"] = (
+                    f"FAIL: {cache_detail['trained_psnr']} dB < floor "
+                    f"{TRAINED_PSNR_FLOOR}"
+                )
+                globals()["_QUALITY_GATE_FAILED"] = cache_detail[
+                    "trained_psnr_gate"]
+            else:
+                cache_detail["trained_psnr_gate"] = (
+                    f"pass (floor {TRAINED_PSNR_FLOOR})"
+                )
         except Exception as e:
             cache_detail["trained_psnr_error"] = f"{type(e).__name__}: {e}"
         rays_per_sec = BATCH_SIZE / dt
@@ -940,6 +967,7 @@ def _main_default(only=None):
                 "unit": "rays/sec/chip",
                 "detail": cache_detail,
             }))
+            _exit_if_gate_failed()
             return
 
     # Material stage (the expensive half of the north-star metric).
@@ -1152,6 +1180,7 @@ def _main_default(only=None):
         },
     }
     print(json.dumps(result))
+    _exit_if_gate_failed()
 
 
 if __name__ == "__main__":

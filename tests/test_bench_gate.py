@@ -29,3 +29,19 @@ def test_trained_psnr_gate_smoke():
     model = make_tiny_model(config)
     psnr = bench.trained_psnr_gate(model, config, ds, steps=5, resolution=16)
     assert np.isfinite(psnr) and psnr > 0.0
+
+def test_floor_gate_fails_loudly(monkeypatch, capsys):
+    """Below-floor trained PSNR must exit nonzero AFTER the JSON prints."""
+    import pytest
+
+    monkeypatch.setattr(bench, "_QUALITY_GATE_FAILED",
+                        "FAIL: 12.0 dB < floor 20.0")
+    with pytest.raises(SystemExit) as e:
+        bench._exit_if_gate_failed()
+    assert e.value.code == 1
+    assert "QUALITY GATE" in capsys.readouterr().err
+
+
+def test_floor_gate_passes_quietly(monkeypatch):
+    monkeypatch.setattr(bench, "_QUALITY_GATE_FAILED", None)
+    bench._exit_if_gate_failed()  # no raise
