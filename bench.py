@@ -829,6 +829,15 @@ def main():
             sys.argv[sys.argv.index("--proposal-width") + 1]
         )
         globals()["AB_RUN"] = True
+    if "--planes-min-points" in sys.argv:
+        # Bisect knob for the plane-vs-leveled scatter backward switchover
+        # (ops/hashgrid._PLANES_MIN_POINTS). The material batch-1024 fault
+        # (BASELINE r4) sits EXACTLY at the default 2^20 boundary:
+        # 1024 rays x 32 secondary x 32 samples = 2^20 points.
+        hashgrid.set_planes_min_points(
+            int(sys.argv[sys.argv.index("--planes-min-points") + 1])
+        )
+        globals()["AB_RUN"] = True
     if "--gather-layout" in sys.argv:
         # On-chip A/B for the encoder gather orientation: 'features'
         # (column gathers from [F, rows] tables, the round-3 default) vs

@@ -144,6 +144,16 @@ ROUGHNESS_BIAS = (
     if "--roughness-bias" in sys.argv else None
 )
 
+# --planes-min-points N: override the plane-vs-leveled scatter backward
+# switchover (bisect knob for the material batch-1024 kernel fault, which
+# sits exactly at the default 2^20 fan-out boundary).
+if "--planes-min-points" in sys.argv:
+    from neural_radiance_caching_tpu.ops import hashgrid as _hashgrid
+
+    _hashgrid.set_planes_min_points(
+        int(sys.argv[sys.argv.index("--planes-min-points") + 1])
+    )
+
 # --light-canonical: condition the indirect nets on azimuth-invariant light
 # features in the surface frame (Config.light_canonical_frame) — the
 # relight-generalization lever for the multi-illum rows, where TEST views
