@@ -1,12 +1,14 @@
 """bench.trained_psnr_gate: the driver bench's quality canary (tiny smoke)."""
 
 import numpy as np
+import pytest
 
 import bench
 from neural_radiance_caching_tpu.data import datasets
 from neural_radiance_caching_tpu.engine.configs import Config
 
 
+@pytest.mark.slow
 def test_trained_psnr_gate_smoke():
     from test_train_e2e import make_tiny_model
 

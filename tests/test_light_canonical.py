@@ -7,6 +7,7 @@ illumination — reference internal/datasets.py:3271-3410).
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -100,6 +101,7 @@ def test_frame_inputs_carry_no_gradient():
     np.testing.assert_allclose(np.asarray(g), 0.0)
 
 
+@pytest.mark.slow
 def test_cache_forward_with_canonical_flag():
     """A cache model forward runs (and differs from raw conditioning) with
     Config.light_canonical_frame=True."""

@@ -206,6 +206,7 @@ def test_elpips_deterministic_and_finite(params, imgs):
     )
 
 
+@pytest.mark.slow
 def test_elpips_network_dropout(params, imgs):
     """The E-LPIPS shared network dropout (reference networks.py:60-70):
     deterministic in seed, a small perturbation at keep_prob=0.99, exactly

@@ -10,6 +10,7 @@ closed-form geometry, not reference output.
 import os
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -155,6 +156,7 @@ def test_sampler_mesh_shortcut_depth_parity():
     assert len(out["main"]["sampler"]) == 1
 
 
+@pytest.mark.slow
 def test_sampler_mesh_annotations_without_shortcut():
     """use_mesh=False keeps volume sampling but annotates samples with the
     surface distance (sampling.py:578-592)."""

@@ -328,6 +328,7 @@ def test_wide_pulse_transient_gt_and_ray_kernel():
     np.testing.assert_allclose(np.asarray(batch.rays.impulse_response), kernel)
 
 
+@pytest.mark.slow
 def test_wide_pulse_train_and_render_on_mesh():
     """The global 1-D sensor kernel must survive the sharded pipeline: the
     8-virtual-device mesh cannot batch-shard a kernel-length leaf
