@@ -47,18 +47,27 @@ def summarize_xplane(trace_dir):
         totals = {}
         per_line = {}  # line name -> {op name: ps}
         intervals = []  # (start_ps, end_ps) across all op lines
+        # FULL line inventory: every track's busy union, so time living on
+        # non-"XLA Ops" lines (DMA engines, SparseCore, infeed, step
+        # markers) is visible instead of landing in "unattributed".
+        line_events = {}  # line name -> [(start, end, op name)]
         for line in plane.lines:
-            # Only the op-level lines (XLA Ops) carry per-op events.
-            if "XLA Ops" not in line.name and "xla" not in line.name.lower():
+            evs = [
+                (ev.offset_ps, ev.offset_ps + ev.duration_ps,
+                 meta.get(ev.metadata_id, "?"))
+                for ev in line.events
+            ]
+            if evs:
+                line_events.setdefault(line.name or "?", []).extend(evs)
+        for lname, evs in line_events.items():
+            # Only the op-level lines (XLA Ops) feed the category split.
+            if "XLA Ops" not in lname and "xla" not in lname.lower():
                 continue
-            ltot = per_line.setdefault(line.name or "?", {})
-            for ev in line.events:
-                name = meta.get(ev.metadata_id, "?")
-                totals[name] = totals.get(name, 0) + ev.duration_ps
-                ltot[name] = ltot.get(name, 0) + ev.duration_ps
-                intervals.append(
-                    (ev.offset_ps, ev.offset_ps + ev.duration_ps)
-                )
+            ltot = per_line.setdefault(lname, {})
+            for s, e, name in evs:
+                totals[name] = totals.get(name, 0) + (e - s)
+                ltot[name] = ltot.get(name, 0) + (e - s)
+                intervals.append((s, e))
         if not totals:
             continue
         total = sum(totals.values())
@@ -114,6 +123,53 @@ def summarize_xplane(trace_dir):
         print("  top instances:")
         for name, t in sorted(totals.items(), key=lambda kv: -kv[1])[:14]:
             print(f"    {100*t/total:5.1f}%  {t/1e9:9.2f} ms  {name[:140]}")
+
+        # --- unattributed-tail decomposition (VERDICT r4 item 7) ---------
+        # (a) Every line's busy union: work on non-op tracks (DMA queues,
+        # infeed, SparseCore, step markers) is real device time the op
+        # categories above never see.
+        print("  all-track busy unions:")
+        for lname, evs in sorted(line_events.items()):
+            ivs = sorted((s, e) for s, e, _ in evs)
+            u, cs, ce = 0, None, None
+            for s, e in ivs:
+                if ce is None or s > ce:
+                    if ce is not None:
+                        u += ce - cs
+                    cs, ce = s, e
+                else:
+                    ce = max(ce, e)
+            if ce is not None:
+                u += ce - cs
+            print(f"    {u/1e9:9.2f} ms busy  [{len(evs):6d} events]  {lname}")
+        # (b) Gap structure on the synchronous op track: time where NO op
+        # runs is the true unattributed remainder; naming the ops that
+        # bound each large gap says what the device was waiting on.
+        sync = []
+        for lname, evs in line_events.items():
+            if "XLA Ops" in lname and "Async" not in lname:
+                sync.extend(evs)
+        if sync:
+            sync.sort()
+            merged = []  # (start, end, opening op, closing op)
+            cs, ce, last_op = sync[0][0], sync[0][1], sync[0][2]
+            gaps = []
+            for s, e, name in sync[1:]:
+                if s > ce:
+                    gaps.append((s - ce, ce, last_op, name))
+                    cs, ce, last_op = s, e, name
+                else:
+                    if e > ce:
+                        ce, last_op = e, name
+            gap_total = sum(g for g, *_ in gaps)
+            span = sync[-1][1] - sync[0][0]
+            print(
+                f"  sync-track gaps: {gap_total/1e9:.2f} ms total over "
+                f"{span/1e9:.2f} ms span ({100*gap_total/max(span,1):.1f}% idle)"
+            )
+            for g, at, before, after in sorted(gaps, reverse=True)[:12]:
+                print(f"    {g/1e9:8.3f} ms gap  after {before[:60]!r}")
+                print(f"                    before {after[:60]!r}")
         return
 
 
