@@ -60,6 +60,13 @@ PROPOSAL_WIDTH = 256
 # 11.93 vs 12.2 deg — within noise). `--secondary-level-clamp 0` restores
 # the full pyramid for A/Bs.
 SECONDARY_LEVEL_CLAMP = 6
+# Primary-ray LOD: clamp the final density pyramid to its coarsest K levels
+# for PRIMARY queries (None = full pyramid). A/B knob (--primary-level-clamp)
+# for the cache stage's scatter-update count — the scatter is 43% of the
+# step at its serial issue floor, so fewer levels is the one lever left
+# (BASELINE.md "cache-stage instance trace"). Quality guard: trained_psnr
+# gate + material_convergence_check --primary-level-clamp.
+PRIMARY_LEVEL_CLAMP = None
 # Reference README quick-start trains the material stage at batch 1024; the
 # secondary fan-out (32 secondary rays x full cache hierarchy per surface
 # point) makes activations ~32x a cache ray's, so remat is on for this stage.
@@ -250,6 +257,7 @@ def flagship_cache_params(config):
         "net_depth": 2, "net_width": 64, "disable_density_normals": True,
         "enable_pred_normals": True, "warp_fn": coord.contract_radius_2,
         "secondary_grid_level_clamp": SECONDARY_LEVEL_CLAMP,
+        "primary_grid_level_clamp": PRIMARY_LEVEL_CLAMP,
     }
     appearance_grid["num_features"] = 4
     slf = {
@@ -828,6 +836,11 @@ def main():
         globals()["PROPOSAL_WIDTH"] = int(
             sys.argv[sys.argv.index("--proposal-width") + 1]
         )
+        globals()["AB_RUN"] = True
+    if "--primary-level-clamp" in sys.argv:
+        # On-chip A/B: primary-ray LOD (see PRIMARY_LEVEL_CLAMP above).
+        _plc_arg = int(sys.argv[sys.argv.index("--primary-level-clamp") + 1])
+        globals()["PRIMARY_LEVEL_CLAMP"] = _plc_arg if _plc_arg > 0 else None
         globals()["AB_RUN"] = True
     if "--planes-min-points" in sys.argv:
         # Bisect knob for the plane-vs-leveled scatter backward switchover

@@ -85,6 +85,12 @@ class BaseDensityMLP(nn.Module):
     # fine hash levels are the dominant gather/scatter cost of the material
     # stage's secondary fan-out (BASELINE.md round-3 traces).
     secondary_grid_level_clamp: Optional[int] = None
+    # Primary-ray LOD (same argument, camera side): at training resolution
+    # the pixel cone footprint can exceed the finest hash cells, so the
+    # finest levels carry variance the render integral cannot resolve while
+    # dominating the scatter backward's update count (43% of the cache step,
+    # BASELINE.md round-3 instance trace). Quality-guarded A/B knob.
+    primary_grid_level_clamp: Optional[int] = None
     use_feature_filter_far_field: bool = False
     feature_filter_radius: float = float("inf")
     feature_filter_size: int = 64
@@ -162,6 +168,8 @@ class BaseDensityMLP(nn.Module):
             grid_kwargs = {}
             if is_secondary and self.secondary_grid_level_clamp is not None:
                 grid_kwargs["max_levels"] = self.secondary_grid_level_clamp
+            elif not is_secondary and self.primary_grid_level_clamp is not None:
+                grid_kwargs["max_levels"] = self.primary_grid_level_clamp
             x.append(
                 self.grid(
                     control,

@@ -134,6 +134,12 @@ if _slc == 0:
 elif _slc > 0:
     bench.SECONDARY_LEVEL_CLAMP = _slc
 
+# --primary-level-clamp K: quality guard for the primary-ray LOD A/B (the
+# cache-stage scatter-count lever; see bench.PRIMARY_LEVEL_CLAMP).
+_plc = _int_flag("--primary-level-clamp", -1)
+if _plc > 0:
+    bench.PRIMARY_LEVEL_CLAMP = _plc
+
 # --roughness-bias B: overrides the MaterialMLP roughness head bias (the
 # reference's 3.0 initializes GGX alpha at softplus(3)~=3.05, far above any
 # physical alpha in [0,1]; on short glossy runs the render loss is satisfied
@@ -395,6 +401,8 @@ def main():
         # default-clamped runs never resume pre-flip unclamped checkpoints.
         + ([f"slc{bench.SECONDARY_LEVEL_CLAMP}"]
            if bench.SECONDARY_LEVEL_CLAMP else [])
+        + ([f"plc{bench.PRIMARY_LEVEL_CLAMP}"]
+           if bench.PRIMARY_LEVEL_CLAMP else [])
         + ([f"pw{bench.PROPOSAL_WIDTH}"] if "--proposal-width" in sys.argv else [])
         + ([f"rb{ROUGHNESS_BIAS:g}"] if ROUGHNESS_BIAS is not None else [])
         + (["lc"] if LIGHT_CANONICAL else [])

@@ -106,3 +106,81 @@ def test_density_mlp_secondary_clamp_only_affects_secondary():
     sec = np.asarray(density(mlp, True))
     assert np.isfinite(sec).all()
     assert not np.allclose(sec, np.asarray(density(baseline, True)))
+
+
+def test_density_mlp_primary_clamp_only_affects_primary():
+    """primary_grid_level_clamp mirrors the secondary clamp, camera side."""
+    mlp = geometry.DensityMLP(
+        net_depth=1, net_width=8, disable_density_normals=True,
+        enable_pred_normals=False, warp_fn=coord.contract_radius_2,
+        grid_params=dict(GRID), primary_grid_level_clamp=2,
+    )
+    n, s = 8, 4
+    means = jax.random.uniform(jax.random.PRNGKey(6), (n, s, 3), minval=-1.0,
+                               maxval=1.0)
+    covs = jnp.tile(jnp.eye(3) * 1e-4, (n, s, 1, 1))
+    control_offsets = jnp.zeros((n, s, 1, 3))
+    perp_mag = None
+
+    baseline = geometry.DensityMLP(
+        net_depth=1, net_width=8, disable_density_normals=True,
+        enable_pred_normals=False, warp_fn=coord.contract_radius_2,
+        grid_params=dict(GRID),
+    )
+    variables = baseline.init(
+        jax.random.PRNGKey(7), means, covs, control_offsets, perp_mag,
+        method=baseline.predict_density)
+
+    def density(model, is_secondary):
+        return model.apply(
+            variables, means, covs, control_offsets, perp_mag,
+            is_secondary=is_secondary, method=model.predict_density)[0]
+
+    # Secondary queries are untouched by the primary clamp.
+    np.testing.assert_allclose(
+        np.asarray(density(mlp, True)), np.asarray(density(baseline, True)),
+        rtol=1e-6)
+    # Primary queries differ (fine levels zeroed) but stay finite.
+    pri = np.asarray(density(mlp, False))
+    assert np.isfinite(pri).all()
+    assert not np.allclose(pri, np.asarray(density(baseline, False)))
+
+
+def test_primary_and_secondary_clamps_compose():
+    """With both clamps set, each ray class gets its own level budget."""
+    both = geometry.DensityMLP(
+        net_depth=1, net_width=8, disable_density_normals=True,
+        enable_pred_normals=False, warp_fn=coord.contract_radius_2,
+        grid_params=dict(GRID),
+        primary_grid_level_clamp=3, secondary_grid_level_clamp=2,
+    )
+    only_pri = geometry.DensityMLP(
+        net_depth=1, net_width=8, disable_density_normals=True,
+        enable_pred_normals=False, warp_fn=coord.contract_radius_2,
+        grid_params=dict(GRID), primary_grid_level_clamp=3,
+    )
+    only_sec = geometry.DensityMLP(
+        net_depth=1, net_width=8, disable_density_normals=True,
+        enable_pred_normals=False, warp_fn=coord.contract_radius_2,
+        grid_params=dict(GRID), secondary_grid_level_clamp=2,
+    )
+    n, s = 4, 2
+    means = jax.random.uniform(jax.random.PRNGKey(8), (n, s, 3), minval=-1.0,
+                               maxval=1.0)
+    covs = jnp.tile(jnp.eye(3) * 1e-4, (n, s, 1, 1))
+    control_offsets = jnp.zeros((n, s, 1, 3))
+    variables = only_pri.init(
+        jax.random.PRNGKey(9), means, covs, control_offsets, None,
+        method=only_pri.predict_density)
+
+    def density(model, is_secondary):
+        return model.apply(
+            variables, means, covs, control_offsets, None,
+            is_secondary=is_secondary, method=model.predict_density)[0]
+
+    np.testing.assert_allclose(
+        np.asarray(density(both, False)), np.asarray(density(only_pri, False)),
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(density(both, True)), np.asarray(density(only_sec, True)),
+        rtol=1e-6)
