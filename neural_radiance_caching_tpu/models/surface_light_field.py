@@ -540,14 +540,12 @@ class BaseSurfaceLightFieldMLP(shading.BaseShader):
         if self.use_shader_bottleneck:
             feats.append(shader_bottleneck)
 
-        # Sample proposal (or the degenerate single-sample defaults).
-        s_distances = jnp.zeros_like(bottleneck[..., 0:1])
-        distances = jnp.zeros_like(bottleneck[..., 0:1])
-        raw_weights = jnp.ones_like(bottleneck[..., 0:1])
-        ref_weights = jnp.ones_like(bottleneck[..., 0:1])
-        ref_mask = jnp.ones_like(bottleneck[..., 0:1])
+        # Degenerate single-sample defaults (no distance head): one sample
+        # at s = t = 0 with unit weight and a transparent env escape.
+        unit = jnp.ones_like(bottleneck[..., 0:1])
+        s_distances = distances = env_alpha = jnp.zeros_like(unit)
         env_rgb = jnp.zeros_like(bottleneck[..., 0:3])
-        env_alpha = jnp.zeros_like(bottleneck[..., 0:1])
+        raw_weights = ref_weights = ref_mask = unit
         points = None
 
         if self.use_distance_prediction:
@@ -556,9 +554,9 @@ class BaseSurfaceLightFieldMLP(shading.BaseShader):
                 self.propose_samples(key, rays, origins, refdirs, bottleneck, roughness, **kwargs)
             )
             points = self.ref_warp_fn(points) if self.ref_warp_fn is not None else points
-            ref_weights = jax.nn.softmax(raw_weights, axis=-1)
-            s_distances = (s_distances * ref_weights).sum(axis=-1, keepdims=True)
-            ref_weights = ref_weights * ref_mask * env_alpha
+            blend = jax.nn.softmax(raw_weights, axis=-1)
+            s_distances = (s_distances * blend).sum(axis=-1, keepdims=True)
+            ref_weights = blend * ref_mask * env_alpha
 
         if self.use_far_field_points:
             points = ref_utils.l2_normalize(refdirs)[..., None, :]
