@@ -344,6 +344,29 @@ def build_reference_layout_cache_model(config):
     return NeRFModel(config=config, **reference_layout_cache_params(config))
 
 
+# The flagship BRDF head bindings (ngp_yobo.gin:256-301 and
+# transient_ngp_yobo.gin:267-313): SIGMOID roughness at bias -1 (GGX alpha
+# bounded in (0,1), initializing at ~0.27), roughness grad damped 0.25,
+# min_roughness 0.01. The MaterialMLP CLASS defaults mirror the reference's
+# class defaults (softplus roughness at bias 3 -> alpha ~3.05 unbounded),
+# which every published reference config overrides to this bounded head.
+# The r3/r4 glossy quality rows unknowingly trained the class-default head;
+# its alpha drifts UP under the render loss (measured trajectory: roughness
+# MAE 2.33 @ 600 material steps -> 4.89 @ 2400 — diverging with budget),
+# which is why those rows could not approach the <=1.0 gate.
+FLAGSHIP_BRDF_HEAD = {
+    "brdf_bias": {
+        "albedo": -1.0, "specular_albedo": -1.0, "roughness": -1.0,
+        "F_0": -3.078, "metalness": 0.0, "diffuseness": 0.0,
+        "mirrorness": 2.0, "specular_multiplier": 0.0,
+        "diffuse_multiplier": 0.0,
+    },
+    "brdf_activation": {"roughness": jax.nn.sigmoid},
+    "brdf_stopgrad": {"roughness": 0.25},
+    "min_roughness": 0.01,
+}
+
+
 def build_flagship_material_model(config, shader_extras=None):
     """Flagship material stage (`material_light_from_scratch_resample`).
 
@@ -397,6 +420,7 @@ def build_flagship_material_model(config, shader_extras=None):
                 "cache_render_sampling_strategy": strategy,
                 "net_depth_brdf": 2, "net_width_brdf": 64,
                 "use_brdf_correction": False,
+                **FLAGSHIP_BRDF_HEAD,
             },
             **(shader_extras or {}),
         ),
@@ -487,6 +511,7 @@ def build_flagship_transient_material_model(config):
             "net_depth_brdf": 2, "net_width_brdf": 64,
             "use_brdf_correction": False,
             "use_active": True, "use_indirect": True,
+            **FLAGSHIP_BRDF_HEAD,
         },
         resample=True,
         resample_render=True,

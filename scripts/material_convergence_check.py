@@ -383,8 +383,12 @@ def main():
         cache_model = bench.build_reference_layout_cache_model(config)
     else:
         cache_model = bench.build_flagship_cache_model(config)
+    # Tag prefix v2: the flagship BRDF head fix (bench.FLAGSHIP_BRDF_HEAD,
+    # sigmoid roughness) changes the material head's numerics without
+    # changing param SHAPES, so pre-fix checkpoints would resume silently
+    # under the same tag — version the prefix instead.
     tag = "-".join(
-        ["matconv", LAYOUT]
+        ["matconv2", LAYOUT]
         + (["analytic"] if ANALYTIC_NORMALS else [])
         + (["active"] if ACTIVE else [])
         # SCENE_TAG (legacy/physical/glossy [+ _multi]) — NOT just the
