@@ -96,3 +96,28 @@ def test_all_configs_parse():
             continue
         gin.clear_config()
         configs_lib.load_config(config_files=[os.path.join("configs", f)])
+
+
+def test_flagship_brdf_head_matches_gin():
+    """bench.FLAGSHIP_BRDF_HEAD must stay in lockstep with the flagship gin.
+
+    The programmatic builders (bench, convergence checks) and the gin-driven
+    Trainer path must train the SAME material head — the r3/r4 glossy rows
+    silently trained the class-default softplus head because the builders
+    omitted these bindings (BASELINE.md round-5 ledger).
+    """
+    import jax
+
+    import bench
+
+    gin.clear_config()
+    configs_lib.load_config(config_files=["configs/ngp_yobo.gin"])
+    head = bench.FLAGSHIP_BRDF_HEAD
+    gin_bias = gin.query_parameter("MaterialMLP.brdf_bias")
+    gin_act = gin.query_parameter("MaterialMLP.brdf_activation")
+    gin_sg = gin.query_parameter("MaterialMLP.brdf_stopgrad")
+    assert gin_bias == head["brdf_bias"]
+    assert gin_act["roughness"] is jax.nn.sigmoid
+    assert head["brdf_activation"]["roughness"] is jax.nn.sigmoid
+    assert gin_sg["roughness"] == head["brdf_stopgrad"]["roughness"] == 0.25
+    assert gin.query_parameter("MaterialMLP.min_roughness") == head["min_roughness"]
