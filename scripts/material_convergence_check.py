@@ -160,6 +160,14 @@ if "--planes-min-points" in sys.argv:
         int(sys.argv[sys.argv.index("--planes-min-points") + 1])
     )
 
+# --force-xla-encoder: drop every Pallas kernel from the encoder (XLA
+# gathers + XLA scatter backward). Bisect probe: if the batch-1024 fault
+# persists here, it is not in our kernels at all.
+if "--force-xla-encoder" in sys.argv:
+    from neural_radiance_caching_tpu.ops import hashgrid as _hashgrid
+
+    _hashgrid.force_xla_encoder(True)
+
 # --light-canonical: condition the indirect nets on azimuth-invariant light
 # features in the surface frame (Config.light_canonical_frame) — the
 # relight-generalization lever for the multi-illum rows, where TEST views
