@@ -61,12 +61,15 @@ PROPOSAL_WIDTH = 256
 # the full pyramid for A/Bs.
 SECONDARY_LEVEL_CLAMP = 6
 # Primary-ray LOD: clamp the final density pyramid to its coarsest K levels
-# for PRIMARY queries (None = full pyramid). A/B knob (--primary-level-clamp)
-# for the cache stage's scatter-update count — the scatter is 43% of the
-# step at its serial issue floor, so fewer levels is the one lever left
-# (BASELINE.md "cache-stage instance trace"). Quality guard: trained_psnr
-# gate + material_convergence_check --primary-level-clamp.
-PRIMARY_LEVEL_CLAMP = None
+# for PRIMARY queries (None = full pyramid). The scatter backward is 43% of
+# the cache step at its serial issue floor, so fewer participating levels
+# is the one lever left (BASELINE.md "cache-stage instance trace").
+# Default 6 after the round-5 on-chip A/B (+19.3% cache rays/s, 43,325 ->
+# 51,693) with BOTH quality guards passing: the 200-step trained-PSNR gate
+# IMPROVED (22.8 -> 23.69) and the 1200-step cache convergence PSNR is
+# flat (31.411 -> 31.423). `--primary-level-clamp 0` restores the full
+# pyramid for A/Bs.
+PRIMARY_LEVEL_CLAMP = 6
 # Reference README quick-start trains the material stage at batch 1024; the
 # secondary fan-out (32 secondary rays x full cache hierarchy per surface
 # point) makes activations ~32x a cache ray's, so remat is on for this stage.

@@ -919,6 +919,23 @@ def force_xla_encoder(value: bool = True) -> None:
     _FORCE_XLA_ENCODER = bool(value)
 
 
+# Known-faulting encoder fan-out shapes on the v5e remote TPU runtime: at
+# EXACTLY 2^20 points (material batch 1024 x 32 secondary x 32 samples)
+# both Pallas scatter backwards — plane-layout AND forced-leveled — crash
+# the worker at the first optimizer-bearing step, while the pure-XLA path
+# runs clean and the neighboring shapes (3*2^18 @ batch 768, 3*2^19 @
+# batch 1536) are validated (BASELINE.md round-5 bisect; repro logs
+# /tmp/bisect_*_r5.log). The dispatch below shape-gates the custom-VJP
+# kernel path off for these counts so such batches train via XLA autodiff
+# instead of crashing.
+_PALLAS_FAULT_POINT_COUNTS = frozenset({1 << 20})
+
+
+def pallas_backward_allowed(p_total: int) -> bool:
+    """False for fan-out point counts known to fault the Pallas backward."""
+    return int(p_total) not in _PALLAS_FAULT_POINT_COUNTS
+
+
 import contextlib
 
 
@@ -961,9 +978,11 @@ def multires_grid_encode(
     grid_sizes = tuple(int(s) for s in np.asarray(grid_sizes).tolist())
     dense_offsets = tuple(int(o) for o in dense_offsets)
     on_tpu = jax.default_backend() == "tpu"
+    p_total = int(np.prod(x.shape[:-1], dtype=np.int64))
     use_kernel = (
         not _FORCE_XLA_ENCODER
         and on_tpu
+        and pallas_backward_allowed(p_total)
         and multisample_reduce in ("mean", "concat")
         and (hash_tables is None or LANES_OK(hash_tables.shape[-1]))
         and (dense_pool is None or LANES_OK(dense_pool.shape[-1]))

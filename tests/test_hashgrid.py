@@ -723,3 +723,12 @@ def test_dedup_backward_matches_xla_grads(monkeypatch):
                                    err_msg=f"{interp} hash")
         np.testing.assert_allclose(got_d, want_d, rtol=1e-4, atol=1e-4,
                                    err_msg=f"{interp} dense")
+
+
+def test_pallas_fault_shape_guard():
+    """The 2^20-point fan-out (material batch 1024) must route off the
+    Pallas backward: both scatter kernels fault the v5e worker there while
+    the XLA path runs clean (BASELINE.md round-5 bisect)."""
+    assert hashgrid.pallas_backward_allowed(3 * 2**18)  # batch 768, valid
+    assert hashgrid.pallas_backward_allowed(3 * 2**19)  # batch 1536, valid
+    assert not hashgrid.pallas_backward_allowed(1 << 20)  # batch 1024
