@@ -1042,6 +1042,9 @@ def _main_default(only=None):
             mat_dataset = datasets.SyntheticSpheres(
                 "train", None, mat_config, num_images=8, resolution=128
             )
+            # Known v5e runtime-fault family (batch 1024 fan-out): train on
+            # the validated pure-XLA program instead of crashing the worker.
+            hashgrid.guard_material_fanout(MATERIAL_BATCH_SIZE)
             mat_dt, mat_detail = bench_train_steps(
                 build_flagship_material_model(mat_config), mat_config,
                 mat_dataset, MATERIAL_BENCH_STEPS, MATERIAL_BATCH_SIZE,

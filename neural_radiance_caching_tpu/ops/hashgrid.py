@@ -919,21 +919,50 @@ def force_xla_encoder(value: bool = True) -> None:
     _FORCE_XLA_ENCODER = bool(value)
 
 
-# Known-faulting encoder fan-out shapes on the v5e remote TPU runtime: at
-# EXACTLY 2^20 points (material batch 1024 x 32 secondary x 32 samples)
-# both Pallas scatter backwards — plane-layout AND forced-leveled — crash
-# the worker at the first optimizer-bearing step, while the pure-XLA path
-# runs clean and the neighboring shapes (3*2^18 @ batch 768, 3*2^19 @
-# batch 1536) are validated (BASELINE.md round-5 bisect; repro logs
-# /tmp/bisect_*_r5.log). The dispatch below shape-gates the custom-VJP
-# kernel path off for these counts so such batches train via XLA autodiff
-# instead of crashing.
-_PALLAS_FAULT_POINT_COUNTS = frozenset({1 << 20})
+# Known-faulting MATERIAL-stage fan-outs on the v5e remote TPU runtime
+# (BASELINE.md round-5 bisect): at batch 1024 (secondary fan-out 1024 x 32
+# x 32 = 2^20 points) the train step crashes the worker regardless of
+# which Pallas scatter kernel is selected, AND regardless of rerouting
+# just the 2^20-point call to XLA (shape census showed it is the only
+# large call, yet the mixed program still faults) — while the PURE-XLA
+# program at the identical config trains cleanly. The guard is therefore
+# program-level: launch sites call `guard_material_fanout(batch)` before
+# building the material train step, which flips the whole encoder to the
+# XLA path for the known-faulting batches. Neighboring batches (768,
+# 1536 -> 3*2^k shapes everywhere) are validated on the kernel path.
+_FAULTING_MATERIAL_FAN_OUTS = frozenset({1 << 20})
 
 
 def pallas_backward_allowed(p_total: int) -> bool:
-    """False for fan-out point counts known to fault the Pallas backward."""
-    return int(p_total) not in _PALLAS_FAULT_POINT_COUNTS
+    """False for fan-out point counts in the known-faulting family.
+
+    Kept as a diagnostic predicate (and for the shape census); the
+    effective mitigation is `guard_material_fanout` below — per-call
+    rerouting was measured insufficient.
+    """
+    return int(p_total) not in _FAULTING_MATERIAL_FAN_OUTS
+
+
+def guard_material_fanout(batch_size: int, secondary: int = 32,
+                          samples: int = 32) -> bool:
+    """Force the pure-XLA encoder if this material fan-out is fault-listed.
+
+    Returns True when the guard engaged. Call before building/compiling a
+    material-stage train step; the XLA program at these configs is
+    validated on-chip where the Pallas one crashes the worker.
+    """
+    fan_out = int(batch_size) * int(secondary) * int(samples)
+    if fan_out in _FAULTING_MATERIAL_FAN_OUTS:
+        print(
+            f"[hashgrid] material fan-out {fan_out} (batch {batch_size}) is "
+            "in the known v5e runtime-fault family -> forcing the pure-XLA "
+            "encoder for this process (slower, but trains; BASELINE.md r5 "
+            "bisect)",
+            flush=True,
+        )
+        force_xla_encoder(True)
+        return True
+    return False
 
 
 import contextlib
@@ -979,10 +1008,22 @@ def multires_grid_encode(
     dense_offsets = tuple(int(o) for o in dense_offsets)
     on_tpu = jax.default_backend() == "tpu"
     p_total = int(np.prod(x.shape[:-1], dtype=np.int64))
+    import os as _os
+
+    if _os.environ.get("NRC_LOG_ENCODER_SHAPES"):
+        # Trace-time shape census (host print, once per compile): which
+        # encoder calls exist at a given config and which take the Pallas
+        # backward. Used to localize batch-shape-specific runtime faults
+        # without burning chip time (BASELINE.md round-5 bisect).
+        print(
+            f"[encoder] x={tuple(x.shape)} p_total={p_total} "
+            f"reduce={multisample_reduce} levels={len(grid_sizes)} "
+            f"pallas_ok={pallas_backward_allowed(p_total)}",
+            flush=True,
+        )
     use_kernel = (
         not _FORCE_XLA_ENCODER
         and on_tpu
-        and pallas_backward_allowed(p_total)
         and multisample_reduce in ("mean", "concat")
         and (hash_tables is None or LANES_OK(hash_tables.shape[-1]))
         and (dense_pool is None or LANES_OK(dense_pool.shape[-1]))

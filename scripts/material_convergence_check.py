@@ -466,6 +466,11 @@ def main():
     mat_ds = datasets.SyntheticSpheres("train", None, mat_config, num_images=NUM_VIEWS,
                                        resolution=RES)
     print(f"[material] training {MAT_STEPS} steps @ batch {MAT_BATCH}", flush=True)
+    # Known v5e runtime-fault family (batch 1024): flip the whole encoder
+    # to the validated pure-XLA program instead of crashing the worker.
+    from neural_radiance_caching_tpu.ops import hashgrid as hashgrid_lib
+
+    hashgrid_lib.guard_material_fanout(MAT_BATCH)
     shader_extras = {}
     if ACTIVE:
         shader_extras["use_active"] = True

@@ -726,9 +726,18 @@ def test_dedup_backward_matches_xla_grads(monkeypatch):
 
 
 def test_pallas_fault_shape_guard():
-    """The 2^20-point fan-out (material batch 1024) must route off the
-    Pallas backward: both scatter kernels fault the v5e worker there while
-    the XLA path runs clean (BASELINE.md round-5 bisect)."""
+    """The batch-1024 material fan-out (2^20 points) is fault-listed: the
+    program-level guard must flip the encoder to the validated pure-XLA
+    path there, and leave the validated neighbors alone (BASELINE.md
+    round-5 bisect: per-call rerouting was measured insufficient)."""
     assert hashgrid.pallas_backward_allowed(3 * 2**18)  # batch 768, valid
     assert hashgrid.pallas_backward_allowed(3 * 2**19)  # batch 1536, valid
     assert not hashgrid.pallas_backward_allowed(1 << 20)  # batch 1024
+    try:
+        assert not hashgrid.guard_material_fanout(768)
+        assert not hashgrid.guard_material_fanout(1536)
+        assert not hashgrid._FORCE_XLA_ENCODER
+        assert hashgrid.guard_material_fanout(1024)
+        assert hashgrid._FORCE_XLA_ENCODER
+    finally:
+        hashgrid.force_xla_encoder(False)
